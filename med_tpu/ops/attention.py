@@ -1,0 +1,207 @@
+"""Sliding-window local attention.
+
+COG and TransSVNet attend, for every frame ``t``, over the ``window`` most
+recent frames (len_q=30). The reference materializes all T windows with a
+Python loop (models_COG.py:147-176, models_TCN.py:370-380: frames before
+``window-1`` are *zero-padded*, and the softmax runs over the full window
+including the zero slots — there is no masking). Zero keys score exactly 0
+and zero values contribute nothing to the numerator, so prepending
+``window-1`` zero rows to K/V and taking a plain softmax reproduces the
+reference bit-for-bit.
+
+Two implementations with identical semantics:
+
+- ``sliding_window_attention_xla`` — gather-based: builds (T, W, ...) key and
+  value windows and lets XLA fuse the einsums. Simple, used as the CPU/test
+  fallback and the correctness oracle.
+- ``sliding_window_attention_pallas`` — a fused Pallas TPU kernel that tiles
+  the time axis, keeps the K/V halo in VMEM, computes banded scores on the
+  MXU, and never materializes the (T, W, D) window tensor in HBM.
+
+Shapes (heads folded out by callers or kept, both supported):
+    q:  (T, H, M, dk)   M query tokens per frame (COG: 15 text tokens;
+                        TransSVNet encoder: the window itself)
+    k:  (T, H, dk)      per-frame keys
+    v:  (T, H, dv)      per-frame values
+    out:(T, H, M, dv)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only namespace; present in all recent jax
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Affine-free layer norm over the last axis.
+
+    The reference instantiates a *fresh* ``nn.LayerNorm`` inside every
+    attention forward (models_TCN.py:232, :251; models_COG.py:47), so its
+    affine parameters stay at identity and are never trained — functionally
+    a plain normalization, reproduced here.
+    """
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Scaled dot-product attention over the second-to-last axis of k/v.
+
+    q (..., Lq, dk), k (..., Lk, dk), v (..., Lk, dv) -> (..., Lq, dv).
+    Matches reference ScaledDotProductAttention (models_TCN.py:176-193),
+    including the numpy-float scale factor.
+    """
+    d_k = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(d_k)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", attn, v)
+
+
+def multi_head_attention(q, k, v):
+    """Alias of :func:`attend` for (B, H, L, d) layouts."""
+    return attend(q, k, v)
+
+
+def sliding_windows(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(T, ...) -> (T, window, ...): window ending at t, zero-padded at left.
+
+    Equivalent to the reference's per-frame window materialization loop
+    (models_COG.py:157-165).
+    """
+    T = x.shape[0]
+    pad = [(window - 1, 0)] + [(0, 0)] * (x.ndim - 1)
+    xp = jnp.pad(x, pad)
+    idx = np.arange(T)[:, None] + np.arange(window)[None, :]
+    return xp[jnp.asarray(idx)]
+
+
+def sliding_window_attention_xla(q, k, v, window: int) -> jnp.ndarray:
+    """Gather-based reference implementation (also the CPU fallback)."""
+    kwin = sliding_windows(k, window)  # (T, W, H, dk); zero rows = zero keys
+    vwin = sliding_windows(v, window)  # (T, W, H, dv)
+    d_k = q.shape[-1]
+    scores = jnp.einsum("thmd,twhd->thmw", q, kwin) / math.sqrt(d_k)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("thmw,twhd->thmd", attn, vwin)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _swa_kernel(q_ref, k_ref, v_ref, o_ref, *, window: int, tile: int):
+    """One (time-tile, head) cell of the banded local attention.
+
+    Block shapes:
+      q_ref: (tile, M, dk)        queries of the tile, one head
+      k_ref: (tile + window - 1, dk)  keys incl. left halo (input prepadded)
+      v_ref: (tile + window - 1, dv)
+      o_ref: (tile, M, dv)
+
+    Frame i of the tile attends to halo rows [i, i + window); banded masking
+    keeps exactly those. The zero halo rows reproduce the reference's
+    zero-key windows for the first frames of the sequence.
+    """
+    m = q_ref.shape[-2]
+    dk = q_ref.shape[-1]
+    dv = v_ref.shape[-1]
+    halo = tile + window - 1
+
+    q = q_ref[:].reshape(tile * m, dk)
+    kk = k_ref[:].reshape(halo, dk)
+    vv = v_ref[:].reshape(halo, dv)
+    # (tile*M, halo) banded scores on the MXU.
+    scores = jax.lax.dot_general(
+        q, kk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk)
+    scores = scores.reshape(tile, m, halo)
+
+    frame = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 2)
+    in_band = (col >= frame) & (col < frame + window)
+    neg = jnp.finfo(scores.dtype).min
+    scores = jnp.where(in_band, scores, neg)
+
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = jnp.where(in_band, p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    attn = (p / denom).reshape(tile * m, halo)
+
+    out = jax.lax.dot_general(
+        attn, vv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _halo_tiles(x: jnp.ndarray, tile: int, halo: int) -> jnp.ndarray:
+    """(Tp + window - 1, ...) -> (n_tiles, halo, ...) overlapping tile views.
+
+    One contiguous copy (≈(1 + window/tile)× the input) instead of the
+    full (T, window, ...) window materialization (window× blowup).
+    """
+    n_tiles = (x.shape[0] - (halo - tile)) // tile
+    idx = np.arange(n_tiles)[:, None] * tile + np.arange(halo)[None, :]
+    return x[jnp.asarray(idx)]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tile", "interpret"))
+def sliding_window_attention_pallas(
+    q, k, v, window: int, tile: int = 128, interpret: bool = False
+):
+    """Fused banded local attention. Same contract as the XLA version."""
+    T, H, M, dk = q.shape
+    dv = v.shape[-1]
+    Tp = ((T + tile - 1) // tile) * tile
+    halo = tile + window - 1
+
+    # Left halo of zeros implements the reference's zero-key windows; right
+    # pad rounds T up to the tile grid (padded frames are discarded).
+    kp = jnp.pad(k, ((window - 1, Tp - T), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((window - 1, Tp - T), (0, 0), (0, 0)))
+    qp = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
+
+    n_tiles = Tp // tile
+    # Head-major, per-tile halo'd K/V so every grid cell reads one block.
+    qp = qp.transpose(1, 0, 2, 3).reshape(H, n_tiles, tile, M, dk)
+    kh = _halo_tiles(kp, tile, halo).transpose(2, 0, 1, 3)  # (H, n_tiles, halo, dk)
+    vh = _halo_tiles(vp, tile, halo).transpose(2, 0, 1, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_swa_kernel, window=window, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((H, n_tiles, tile, M, dv), q.dtype),
+        grid=(H, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile, M, dk), lambda h, t: (h, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, halo, dk), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, 1, halo, dv), lambda h, t: (h, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile, M, dv), lambda h, t: (h, t, 0, 0, 0)),
+        interpret=interpret,
+    )(qp, kh, vh)
+    out = out.reshape(H, Tp, M, dv).transpose(1, 0, 2, 3)
+    return out[:T]
+
+
+def sliding_window_attention(q, k, v, window: int, use_pallas: bool = True):
+    """Dispatch to the Pallas kernel on TPU, XLA gather path elsewhere."""
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and on_tpu:
+        return sliding_window_attention_pallas(q, k, v, window)
+    return sliding_window_attention_xla(q, k, v, window)
