@@ -1,0 +1,277 @@
+"""COG — Chain-of-Gesture vision-language frame model (the flagship).
+
+Reference ``MED/modeling/models_COG.py``. Per trial (B=1, T frames):
+
+1. *Chain-of-thought cross-attention* (``MyTransformer``/``TransformerCOT``):
+   project visual features (T, F) and the frozen 15x512 gesture-prompt table
+   to d_model; for every frame, the 15 text tokens cross-attend a
+   zero-padded window of the last len_q=30 visual frames (2 encoder layers,
+   8 heads, d_q=8), then one single-head attention over the text tokens.
+   Output: (T, 15*d_model).
+   The reference materializes all T windows in a Python loop
+   (models_COG.py:147-176); here the K/V projections are applied to the
+   full sequence once and the banded sliding-window attention op does the
+   rest (:mod:`med_tpu.ops.attention`) — no (T, 30, d) tensor exists.
+2. *Slow path*: channel-dropout TCN stage (11 layers) + num_R refinement
+   stages (10 layers, fed features not logits) + an FPN over the 4 feature
+   maps (linear-interp upsample-add) -> 4 logit tracks.
+3. *Fast path*: 16x average-pooled features through its own TCN stage +
+   num_R refinements (fed softmaxed logits) -> 1 + num_R logit tracks at
+   T/16 resolution.
+
+Returns ``(out_list, f_list)`` of multi-resolution logits/features, consumed
+by the fused CE + truncated-MSE smoothing loss (modeling_utils.py:1501-1521).
+
+Reference quirks reproduced deliberately:
+- ``MultiHeadAttention_COG.fc`` is defined but never applied
+  (models_COG.py:46: ``output = context``) — so head outputs are concatenated
+  raw and added to the residual (requires n_heads*d_q == d_model);
+- its closing LayerNorm is created per-forward => unlearned (models_COG.py:47),
+  while ``EncoderLayer_COG.norm1/norm3`` and ``Encoder_COG.norm`` are module
+  attributes => learned;
+- the refinement stages have ``hier=True`` with kernel_size=1 => their
+  AvgPool is a no-op and every slow track stays at full resolution;
+- the FPN applies the same lateral conv (latlayer1) to all levels
+  (models_COG.py:217-219).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attend, layer_norm, sliding_window_attention
+from ..ops.interpolate import interp1d_linear
+from .layers import Conv1d, DilatedResidualLayer, torch_default_kernel
+from .prompts import EMBED_DIM, GESTURES, load_prompt_embeddings
+from .transsvnet import PoswiseFFN
+
+
+class COGAttention(nn.Module):
+    """MultiHeadAttention_COG: QKV projections (no bias), concat heads
+    *without* output projection, residual + unlearned LN."""
+
+    d_model: int
+    d_q: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        B = q_in.shape[0]
+
+        def proj(x, name):
+            y = nn.Dense(
+                self.d_q * self.n_heads, use_bias=False,
+                kernel_init=torch_default_kernel, name=name,
+            )(x)
+            return y.reshape(B, -1, self.n_heads, self.d_q).transpose(0, 2, 1, 3)
+
+        ctx = attend(proj(q_in, "W_Q"), proj(k_in, "W_K"), proj(v_in, "W_V"))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, -1, self.n_heads * self.d_q)
+        return layer_norm(ctx + q_in)
+
+
+class COGEncoderLayer(nn.Module):
+    """EncoderLayer_COG: learned pre-norms around the fused local attention.
+
+    ``__call__`` takes per-frame text queries plus the *full* visual sequence
+    and runs the banded sliding-window attention (K/V projections commute
+    with windowing, so this is exactly the reference computation).
+    """
+
+    d_model: int
+    d_ff: int
+    d_q: int
+    n_heads: int
+    window: int
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, text, visual_seq):
+        """text (T, M, d_model), visual_seq (T + window - 1, d_model) with
+        explicit left-pad rows -> (T, M, d_model).
+
+        The caller prepends ``window - 1`` pad rows: the reference layer-norms
+        the *windowed* visual tensor, so the zero-pad slots of early windows
+        carry the learned LN bias β (not zeros) into the K/V projections.
+        Passing a pre-padded sequence whose pad rows are norm(0)=β and
+        shifting the query alignment reproduces that exactly.
+        """
+        T, M, _ = text.shape
+        q_in = nn.LayerNorm(name="norm1")(text)
+
+        q = nn.Dense(self.d_q * self.n_heads, use_bias=False,
+                     kernel_init=torch_default_kernel, name="W_Q")(q_in)
+        k = nn.Dense(self.d_q * self.n_heads, use_bias=False,
+                     kernel_init=torch_default_kernel, name="W_K")(visual_seq)
+        v = nn.Dense(self.d_q * self.n_heads, use_bias=False,
+                     kernel_init=torch_default_kernel, name="W_V")(visual_seq)
+
+        pad = visual_seq.shape[0] - T  # window - 1
+        # Dummy queries for the pad positions; their outputs are discarded.
+        q = q.reshape(T, M, self.n_heads, self.d_q).transpose(0, 2, 1, 3)
+        q = jnp.pad(q, ((pad, 0), (0, 0), (0, 0), (0, 0)))
+        k = k.reshape(-1, self.n_heads, self.d_q)
+        v = v.reshape(-1, self.n_heads, self.d_q)
+        ctx = sliding_window_attention(q, k, v, self.window, self.use_pallas)[pad:]
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(T, M, self.n_heads * self.d_q)
+        out = layer_norm(ctx + q_in)  # unlearned LN inside COG attention
+
+        out = nn.LayerNorm(name="norm3")(out)
+        return PoswiseFFN(self.d_model, self.d_ff, name="ffn")(out)
+
+
+class ChainOfGestureTransformer(nn.Module):
+    """MyTransformer + TransformerCOT: the chain-of-thought block."""
+
+    f_dim: int          # visual feature width (2048 multimodal: video_dims+26 etc.)
+    gest_dim: int       # prompt embedding width (512)
+    d_model: int
+    d_q: int
+    len_q: int
+    n_heads: int = 8
+    n_layers: int = 2
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, gest_embed, long_feature):
+        """gest_embed (M, gest_dim), long_feature (T, f_dim) -> (T, M*d_model)."""
+        visual = nn.Dense(self.d_model, use_bias=False,
+                          kernel_init=torch_default_kernel, name="linear1")(long_feature)
+        text0 = nn.Dense(self.d_model, use_bias=False,
+                         kernel_init=torch_default_kernel, name="linear2")(gest_embed)
+        T = visual.shape[0]
+        M = text0.shape[0]
+
+        # Encoder_COG.norm (learned) is applied to the zero-padded windows in
+        # the reference, so pad rows become norm(0) = β; prepend them here.
+        visual = jnp.pad(visual, ((self.len_q - 1, 0), (0, 0)))
+        visual = nn.LayerNorm(name="enc_norm")(visual)
+        text = jnp.broadcast_to(text0[None], (T, M, self.d_model))
+        for i in range(self.n_layers):
+            text = COGEncoderLayer(
+                self.d_model, self.f_dim, self.d_q, self.n_heads,
+                self.len_q, self.use_pallas, name=f"layer{i}",
+            )(text, visual)
+
+        # final single-head attention: text' attends the original text tokens
+        text_kv = jnp.broadcast_to(text0[None], (T, M, self.d_model))
+        out = COGAttention(self.d_model, self.d_model, 1, name="atten")(
+            text, text_kv, text_kv
+        )
+        return out.reshape(T, M * self.d_model)
+
+
+class COGStage(nn.Module):
+    """SingleStageModel1_COG: optional 1x1 input conv, optional channel
+    dropout, dilated residual stack, 1x1 class conv. Returns (features,
+    logits)."""
+
+    num_layers: int
+    f_maps: int
+    out_classes: int
+    causal: bool = True
+    channel_dropout: bool = False
+    use_input_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = Conv1d(self.f_maps, 1, name="conv_in")(x) if self.use_input_conv else x
+        if self.channel_dropout:
+            # torch Dropout2d on (B, C, T, 1): zeroes whole channels
+            out = nn.Dropout(0.5, broadcast_dims=(1,), deterministic=not train)(out)
+        for i in range(self.num_layers):
+            out = DilatedResidualLayer(
+                self.f_maps, 2**i, causal=self.causal, name=f"layer{i}"
+            )(out, train)
+        logits = Conv1d(self.out_classes, 1, name="conv_out")(out)
+        return out, logits
+
+
+class COG(nn.Module):
+    num_layers_basic: int = 11
+    num_layers_r: int = 10
+    num_r: int = 3
+    f_maps: int = 64
+    f_dim: int = 2048
+    out_classes: int = 2
+    causal: bool = True
+    d_model: int = 64
+    d_q: int = 8
+    len_q: int = 30
+    n_gestures: int = len(GESTURES)
+    gest_dim: int = EMBED_DIM
+    fast_pool: int = 16
+    use_pallas: bool = True
+    prompt_path: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool = False
+    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        """x: (1, T, f_dim) one trial. Returns (out_list, f_list):
+        out_list = 4 slow FPN logit tracks at T + (1 + num_r) fast tracks at
+        T//fast_pool, each (1, T_i, out_classes)."""
+        if x.shape[0] != 1:
+            raise ValueError("COG processes one trial at a time (B=1)")
+
+        # frozen prompt table, stored outside 'params' so it is never trained
+        gest = self.variable(
+            "constants",
+            "gest_embed",
+            lambda: jnp.asarray(
+                load_prompt_embeddings(self.prompt_path, GESTURES[: self.n_gestures],
+                                       self.gest_dim)
+            ),
+        ).value
+
+        xx = ChainOfGestureTransformer(
+            self.f_dim, self.gest_dim, self.d_model, self.d_q, self.len_q,
+            use_pallas=self.use_pallas, name="cot",
+        )(gest, x[0])  # (T, M*d_model)
+        xx = xx[None]  # (1, T, M*d_model)
+
+        # --- slow path ---
+        f, _ = COGStage(
+            self.num_layers_basic, self.f_maps, self.out_classes,
+            self.causal, channel_dropout=True, name="TCN",
+        )(xx, train)
+        f_list = [f]
+        for r in range(self.num_r):
+            f, _ = COGStage(
+                self.num_layers_r, self.f_maps, self.out_classes,
+                self.causal, use_input_conv=False, name=f"R{r}",
+            )(f, train)
+            f_list.append(f)
+
+        # FPN upsample-add with a single shared lateral conv
+        lat = Conv1d(self.f_maps, 1, name="latlayer1")
+        p = f_list[-1]
+        pyramid = [p]
+        for c in reversed(f_list[:-1]):
+            p = interp1d_linear(p, c.shape[1], axis=1) + lat(c)
+            pyramid.insert(0, p)
+
+        conv_out = Conv1d(self.out_classes, 1, name="conv_out")
+        out_list = [conv_out(p) for p in pyramid]
+
+        # --- fast path ---
+        fast = nn.avg_pool(xx, (self.fast_pool,), strides=(self.fast_pool,))
+        fast_f, fast_out = COGStage(
+            self.num_layers_basic, self.f_maps, self.out_classes,
+            self.causal, channel_dropout=True, name="fast_stage1",
+        )(fast, train)
+        f_list.append(fast_f)
+        out_list.append(fast_out)
+        for r in range(self.num_r):
+            fast_f, fast_out = COGStage(
+                self.num_layers_r, self.f_maps, self.out_classes,
+                self.causal, name=f"fast_R{r}",
+            )(nn.softmax(fast_out, axis=-1), train)
+            f_list.append(fast_f)
+            out_list.append(fast_out)
+
+        return out_list, f_list

@@ -1,0 +1,146 @@
+"""Shared model building blocks.
+
+Conventions (TPU-first, not the reference's):
+
+- all sequence tensors are channel-last ``(B, T, F)`` so the feature axis is
+  the TPU lane dimension; the reference's (B, F, T) permute dances
+  (modeling_utils.py:47-75) do not exist here.
+- modules take ``train: bool`` and draw dropout rngs from the ``'dropout'``
+  rng stream; batch-norm statistics live in the ``'batch_stats'`` collection.
+
+Weight initializers mirror the reference's torch inits:
+- ``xavier_normal`` + bias 0.1 (FeatureExtractor / classifier heads,
+  reference models.py:38-47),
+- ``kaiming_normal`` fan-out (conv stacks, models.py:122-131),
+- ``torch_default_*`` — torch's implicit kaiming-uniform(a=√5) scheme for
+  layers the reference never re-initializes (all of models_TCN.py /
+  models_COG.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# --- initializers ---------------------------------------------------------
+xavier_normal = nn.initializers.glorot_normal()
+kaiming_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+kaiming_uniform_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+# torch's default Linear/Conv init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+torch_default_kernel = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+bias_01 = nn.initializers.constant(0.1)
+zeros = nn.initializers.zeros
+
+
+def torch_default_bias(fan_in: int):
+    """torch resets bias to U(±1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def mlp_head(
+    x: jnp.ndarray,
+    dims: Sequence[int],
+    n_classes: int,
+    train: bool,
+    use_batchnorm: bool = True,
+    name: str = "head",
+) -> jnp.ndarray:
+    """Dense -> ReLU -> (BatchNorm) stack ending in a linear classifier.
+
+    Matches the classifier heads of the window models (reference
+    models.py:102-111, :177-184): xavier-normal kernels.
+    """
+    for i, d in enumerate(dims):
+        x = nn.Dense(d, kernel_init=xavier_normal, name=f"{name}_dense{i}")(x)
+        x = nn.relu(x)
+        if use_batchnorm:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"{name}_bn{i}"
+            )(x)
+    return nn.Dense(n_classes, kernel_init=xavier_normal, name=f"{name}_out")(x)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution on (B, T, C) with torch-default init."""
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    padding: object = "VALID"  # 'VALID' | 'SAME' | [(left, right)]
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1] * self.kernel_size
+        return nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_default_kernel,
+            bias_init=torch_default_bias(fan_in),
+        )(x)
+
+
+class DilatedResidualLayer(nn.Module):
+    """Dilated temporal residual block (reference models_TCN.py:104-137).
+
+    causal: left-pad ``2*dilation`` (the reference pads both sides and trims
+    the right tail — equivalent); otherwise symmetric ``dilation`` padding.
+    relu(dilated conv3) -> conv1 -> dropout(0.5) -> +residual.
+    """
+
+    channels: int
+    dilation: int
+    causal: bool = True
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (
+            [(2 * self.dilation, 0)]
+            if self.causal
+            else [(self.dilation, self.dilation)]
+        )
+        out = Conv1d(
+            self.channels, 3, dilation=self.dilation, padding=pad, name="conv_dilated"
+        )(x)
+        out = nn.relu(out)
+        out = Conv1d(self.channels, 1, name="conv_1x1")(out)
+        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        return x + out
+
+
+class SingleStageTCN(nn.Module):
+    """One MS-TCN stage (reference models_TCN.py:76-101 / :140-165).
+
+    conv1x1 in -> num_layers dilated residual blocks (dilation 2^i) ->
+    conv1x1 out. Returns (features, logits); callers needing only logits
+    drop the features.
+    """
+
+    num_layers: int
+    f_maps: int
+    out_classes: int
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        out = Conv1d(self.f_maps, 1, name="conv_in")(x)
+        for i in range(self.num_layers):
+            out = DilatedResidualLayer(
+                self.f_maps, 2**i, causal=self.causal, name=f"layer{i}"
+            )(out, train)
+        logits = Conv1d(self.out_classes, 1, name="conv_out")(out)
+        return out, logits

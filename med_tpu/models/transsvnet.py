@@ -1,0 +1,117 @@
+"""TransSVNet: transformer refiner over frozen TeCNo logits (frame level).
+
+Reference ``Transformer`` (models_TCN.py:176-385). Per frame t it
+self-attends a zero-padded window of the last len_q=30 TeCNo class-logit
+vectors (1 encoder layer, 8 heads, d_k=d_v=f_maps), then a single decoder
+token — tanh(fc(frame's long feature)) — cross-attends the encoded window.
+Every LayerNorm in the reference is created inside forward and therefore
+unlearned (models_TCN.py:232, :251); :func:`med_tpu.ops.attention.layer_norm`
+reproduces that. The per-frame window materialization loop
+(models_TCN.py:373-380) becomes the fused sliding-window attention op for
+the encoder's first sublayer; subsequent sublayers operate on the already
+windowed (T, len_q, C) activations.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import attend, layer_norm, sliding_windows
+from .layers import torch_default_kernel
+
+
+class MHA(nn.Module):
+    """Projections + scaled-dot-product + output proj + unlearned LN
+    (reference MultiHeadAttention, models_TCN.py:196-232)."""
+
+    d_model: int
+    d_k: int
+    d_v: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        B = q_in.shape[0]
+
+        def proj(x, d, name):
+            y = nn.Dense(
+                d * self.n_heads, use_bias=False,
+                kernel_init=torch_default_kernel, name=name,
+            )(x)
+            return y.reshape(B, -1, self.n_heads, d).transpose(0, 2, 1, 3)
+
+        q = proj(q_in, self.d_k, "W_Q")
+        k = proj(k_in, self.d_k, "W_K")
+        v = proj(v_in, self.d_v, "W_V")
+        ctx = attend(q, k, v)  # (B, H, Lq, d_v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, -1, self.n_heads * self.d_v)
+        out = nn.Dense(
+            self.d_model, use_bias=False,
+            kernel_init=torch_default_kernel, name="fc",
+        )(ctx)
+        return layer_norm(out + q_in)
+
+
+class PoswiseFFN(nn.Module):
+    """Position-wise FFN with unlearned LN (reference models_TCN.py:235-251)."""
+
+    d_model: int
+    d_ff: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.d_ff, use_bias=False, kernel_init=torch_default_kernel)(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, use_bias=False, kernel_init=torch_default_kernel)(y)
+        return layer_norm(y + x)
+
+
+class TransSVNet(nn.Module):
+    f_maps: int = 64          # d_k = d_v = d_ff
+    out_classes: int = 2      # d_model
+    len_q: int = 30
+    in_dim: int = 2048        # long-feature width
+    n_heads: int = 8
+    n_enc_layers: int = 1
+
+    @nn.compact
+    def __call__(self, tecno_logits, long_features, train: bool = False):
+        """tecno_logits (B, T, C), long_features (B, T, in_dim) -> (B, T, C).
+
+        Designed for B=1 trials (reference batch_size=1); frames act as the
+        attention batch.
+        """
+        B, T, C = tecno_logits.shape
+        x = tecno_logits.reshape(B * T, C)
+        windows = sliding_windows(x, self.len_q) if B == 1 else _batched_windows(
+            tecno_logits, self.len_q
+        )
+        # encoder: self-attention over the window + FFN
+        enc = windows
+        for i in range(self.n_enc_layers):
+            enc = MHA(C, self.f_maps, self.f_maps, self.n_heads, name=f"enc_attn{i}")(
+                enc, enc, enc
+            )
+            enc = PoswiseFFN(C, self.f_maps, name=f"enc_ffn{i}")(enc)
+
+        # decoder: one query token per frame cross-attends its window
+        feas = jnp.tanh(
+            nn.Dense(C, use_bias=False, kernel_init=torch_default_kernel, name="fc")(
+                long_features
+            )
+        )
+        q = feas.reshape(B * T, 1, C)
+        dec = MHA(C, self.f_maps, self.f_maps, self.n_heads, name="dec_attn")(
+            q, enc, enc
+        )
+        dec = PoswiseFFN(C, self.f_maps, name="dec_ffn")(dec)
+        return dec.reshape(B, T, C)
+
+
+def _batched_windows(x, len_q):
+    import jax
+
+    return jax.vmap(lambda s: sliding_windows(s, len_q))(x).reshape(
+        -1, len_q, x.shape[-1]
+    )
