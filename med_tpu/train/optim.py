@@ -1,0 +1,47 @@
+"""Optimizer: Adam + coupled L2 + per-epoch cosine annealing.
+
+Reference (modeling_utils.py:220-260): a single torch Adam over the feature
+extractor and model jointly, ``weight_decay`` applied torch-style (L2 added
+to the gradient *before* the Adam moments — not AdamW), and an optional
+``CosineAnnealingLR(T_max=n_epochs, eta_min=1e-6)`` stepped once per epoch.
+
+The learning rate is injected as a mutable hyperparameter so the epoch loop
+can set the exact torch cosine value each epoch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import optax
+
+from ..config import ExperimentConfig
+
+
+def cosine_lr(epoch: int, base_lr: float, n_epochs: int, eta_min: float = 1e-6) -> float:
+    """torch CosineAnnealingLR value at the start of ``epoch`` (0-based)."""
+    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / n_epochs)) / 2
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.inject_hyperparams(optax.scale)(step_size=-cfg.lr),
+    )
+    return tx
+
+
+def set_lr(opt_state, lr: float):
+    """Update the injected learning rate (returns new state)."""
+    import jax.numpy as jnp
+
+    # inject_hyperparams state is the last element of the chain state tuple
+    opt_state[-1].hyperparams["step_size"] = jnp.asarray(-lr, dtype=jnp.float32)
+    return opt_state
+
+
+def epoch_lr(cfg: ExperimentConfig, epoch: int) -> float:
+    if cfg.lr_scheduler:
+        return cosine_lr(epoch, cfg.lr, cfg.n_epochs)
+    return cfg.lr
