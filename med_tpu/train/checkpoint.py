@@ -1,0 +1,45 @@
+"""Checkpoint I/O.
+
+The reference saves ``{'feature_extractor': sd, 'model': sd}`` torch
+state-dicts per fold (modeling_utils.py:3028-3040). Here the param /
+batch-stat / constant pytrees are flattened to a single ``.npz`` with
+'/'-joined key paths plus a JSON manifest — dependency-light, memory-mappable
+and framework-stable. (Orbax remains available for sharded multi-host
+checkpoints; this format covers the single-file best-model use.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    batch_stats: Any = None,
+    constants: Any = None,
+    meta: Optional[Dict] = None,
+) -> None:
+    tree: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        tree["batch_stats"] = batch_stats
+    if constants:
+        tree["constants"] = constants
+    flat = flatten_dict(tree, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    if meta is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_dict(flat, sep="/")

@@ -1,0 +1,402 @@
+"""Epoch loops: train a fold end-to-end with best-checkpoint selection.
+
+Replaces the reference notebooks' fold loops (train_window.ipynb cell 2,
+train_frame.ipynb cell 2): per-epoch cosine LR, train + eval passes, metric
+logging, and best-model bookkeeping by test weighted-F1 or loss
+(``loss_or_f1``). Device->host sync happens once per epoch (stacked
+confusion matrices), not per batch.
+
+Metric conventions follow the reference:
+- window-family *train* metrics are averaged over per-batch values
+  (modeling_utils.py:398-402); *test* metrics are computed over pooled
+  predictions (:781-786);
+- frame-family metrics are pooled over all frames for both splits
+  (:1566-1574).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data.datasets import (
+    FrameTrial,
+    WindowFold,
+    frame_batch,
+    window_batches,
+)
+from ..ops.metrics import metrics_from_cm
+from ..tracking import RunTracker
+from .engine import Experiment
+from .optim import epoch_lr, set_lr
+
+
+def _class_counts(cfg: ExperimentConfig, train_fold) -> Optional[np.ndarray]:
+    if not cfg.pos_weight:
+        return None
+    if cfg.error_type == "global":
+        dist = train_fold.binary_error_distribution
+        return np.asarray(dist, np.float32)
+    return np.asarray(train_fold.specific_error_distribution, np.float32)
+
+
+def _epoch_metrics(cms: List[np.ndarray], average: str, per_batch: bool) -> Dict[str, float]:
+    if per_batch:
+        vals = [metrics_from_cm(cm, average) for cm in cms]
+        keys = vals[0].keys()
+        out = {k: float(np.mean([v[k] for v in vals])) for k in keys}
+        if average == "binary":
+            out["f1_weighted"] = float(
+                np.mean([metrics_from_cm(cm, "weighted")["f1"] for cm in cms])
+            )
+        out["cm"] = np.sum(cms, axis=0)
+        return out
+    total = np.sum(cms, axis=0)
+    out = dict(metrics_from_cm(total, average))
+    if average == "binary":
+        out["f1_weighted"] = metrics_from_cm(total, "weighted")["f1"]
+    out["cm"] = total
+    return out
+
+
+def _average_for(cfg: ExperimentConfig) -> str:
+    if cfg.error_type == "global" or cfg.siamese:
+        return "binary"
+    return "macro"
+
+
+def _better(cfg: ExperimentConfig, candidate: Dict, best: Optional[Dict]) -> bool:
+    if best is None:
+        return True
+    if cfg.loss_or_f1 == "loss":
+        return candidate["test_loss"] < best["test_loss"]
+    return candidate.get("test_f1_weighted", candidate["test_f1"]) > best.get(
+        "test_f1_weighted", best["test_f1"]
+    )
+
+
+def train_window_fold(
+    cfg: ExperimentConfig,
+    train_fold: WindowFold,
+    test_fold: WindowFold,
+    tracker: Optional[RunTracker] = None,
+    tag: str = "LOSO_1Out",
+    exp: Optional[Experiment] = None,
+    siamese_data: Optional[dict] = None,
+) -> Dict[str, Any]:
+    """Full training of one fold for the window families.
+
+    ``siamese_data``: {'train': (img (P,2,W,F), kin, labels),
+    'test': (...), 'test_position_2': (Pt,)} overrides the window batches
+    with pair batches when cfg.siamese.
+    """
+    exp = exp or Experiment(cfg)
+    average = _average_for(cfg)
+
+    if cfg.siamese:
+        batches0 = list(_siamese_batches(cfg, siamese_data["train"], shuffle=False))
+    else:
+        batches0 = [next(window_batches(train_fold, cfg, shuffle=False))]
+    state = exp.init_state(
+        jax.random.key(cfg.seed),
+        _device_batch(batches0[0]),
+        class_counts=_class_counts(cfg, train_fold),
+    )
+
+    best: Optional[Dict] = None
+    best_ckpt = None
+    history = []
+    for epoch in range(cfg.n_epochs):
+        state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
+
+        t0 = time.time()
+        cms, losses = [], []
+        train_iter = (
+            _siamese_batches(cfg, siamese_data["train"], shuffle=True, epoch=epoch)
+            if cfg.siamese
+            else window_batches(train_fold, cfg, shuffle=True, epoch=epoch)
+        )
+        for batch in train_iter:
+            state, metrics = exp.train_step(state, _device_batch(batch))
+            cms.append(metrics["cm"])
+            losses.append(metrics["loss"])
+        train_time = time.time() - t0
+        train_cms = [np.asarray(c) for c in cms]
+        train_m = _epoch_metrics(train_cms, average, per_batch=True)
+        train_loss = float(np.mean([float(l) for l in losses]))
+
+        ev = evaluate_window_fold(cfg, exp, state, test_fold, siamese_data)
+        epoch_row = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "train_f1": train_m["f1"],
+            "train_f1_weighted": train_m.get("f1_weighted", train_m["f1"]),
+            "train_acc": train_m["accuracy"],
+            "train_jaccard": train_m["jaccard"],
+            "train_time": train_time,
+            **{f"test_{k}": v for k, v in ev["metrics"].items()},
+        }
+        history.append(epoch_row)
+        if tracker:
+            tracker.log_metrics(
+                {k: v for k, v in epoch_row.items() if np.isscalar(v)}, step=epoch
+            )
+
+        if _better(cfg, epoch_row, best):
+            best = dict(epoch_row)
+            best.update(
+                {
+                    "preds": ev["preds"],
+                    "probs": ev["probs"],
+                    "labels": ev["labels"],
+                    "gestures": ev.get("gestures"),
+                    "subjects": ev.get("subjects"),
+                    "cm": ev["cm"],
+                }
+            )
+            best_ckpt = jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants}
+            )
+
+    return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
+
+
+def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None) -> Dict:
+    """Pooled eval pass; returns metrics + ordered prediction dumps."""
+    average = _average_for(cfg)
+    preds, probs, cms, losses = [], [], [], []
+    n_eval = 0
+    t_infer, n_units = 0.0, 0
+    test_iter = (
+        _siamese_batches(cfg, siamese_data["test"], shuffle=False)
+        if cfg.siamese
+        else window_batches(test_fold, cfg, shuffle=False)
+    )
+    for batch in test_iter:
+        valid = batch["_valid"]
+        t0 = time.time()
+        m = exp.eval_step(state, _device_batch(batch))
+        jax.block_until_ready(m["preds"])
+        t_infer += time.time() - t0
+        n_units += valid
+        preds.append(np.asarray(m["preds"])[:valid])
+        probs.append(np.asarray(m["probs"])[:valid])
+        cms.append(np.asarray(m["cm"]))
+        losses.append(float(m["loss"]))
+        n_eval += valid
+    pooled = _epoch_metrics(cms, average, per_batch=False)
+    metrics = {
+        "loss": float(np.mean(losses)),
+        "f1": pooled["f1"],
+        "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
+        "acc": pooled["accuracy"],
+        "jaccard": pooled["jaccard"],
+        "inference_ms_per_window": t_infer / max(n_units, 1) * 1e3,
+    }
+    if cfg.siamese:
+        labels = siamese_data["test"][2]
+        out = {
+            "metrics": metrics,
+            "preds": np.concatenate(preds),
+            "probs": np.concatenate(probs),
+            "labels": labels,
+            "cm": pooled["cm"],
+        }
+        # majority vote per test window (reference modeling_utils.py:1180-1250)
+        vote_preds, vote_labels = siamese_vote(
+            out["preds"], siamese_data["test_position_2"],
+            siamese_data["test_window_labels"],
+        )
+        vote_cm = np.zeros((2, 2), np.int64)
+        for y, p in zip(vote_labels, vote_preds):
+            vote_cm[y, p] += 1
+        vm = metrics_from_cm(vote_cm, "binary")
+        metrics.update(
+            {"f1": vm["f1"], "acc": vm["accuracy"], "jaccard": vm["jaccard"],
+             "f1_weighted": metrics_from_cm(vote_cm, "weighted")["f1"]}
+        )
+        out["vote_preds"] = vote_preds
+        out["vote_labels"] = vote_labels
+        out["cm"] = vote_cm
+        return out
+    return {
+        "metrics": metrics,
+        "preds": np.concatenate(preds),
+        "probs": np.concatenate(probs),
+        "labels": test_fold.labels_for(cfg.error_type),
+        "gestures": test_fold.g_labels.reshape(-1),
+        "subjects": test_fold.subjects,
+        "cm": pooled["cm"],
+    }
+
+
+def siamese_vote(pair_preds, position_2, window_labels):
+    """Majority vote of pair predictions grouped by test-window position."""
+    pos = np.asarray(position_2)
+    uniq = np.unique(pos)
+    votes = np.zeros(len(uniq), np.int64)
+    labels = np.zeros(len(uniq), np.int64)
+    for k, u in enumerate(uniq):
+        sel = pos == u
+        votes[k] = int(np.asarray(pair_preds)[sel].mean() >= 0.5)
+        labels[k] = int(window_labels[u])
+    return votes, labels
+
+
+def _siamese_batches(cfg, data, shuffle=False, epoch=0, seed=42):
+    img, kin, labels = data[0], data[1], data[2]
+    n = len(img)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(idx)
+    B = cfg.batch_size
+    for start in range(0, n, B):
+        take = idx[start : start + B]
+        pad = B - len(take)
+        sel = np.concatenate([take, np.zeros(pad, np.int64)]) if pad else take
+        mask = np.concatenate(
+            [np.ones(len(take), np.float32), np.zeros(pad, np.float32)]
+        )
+        yield {
+            "images": img[sel],
+            "kinematics": kin[sel],
+            "labels": labels[sel],
+            "mask": mask,
+            "_index": sel,
+            "_valid": len(take),
+        }
+
+
+def _device_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if not k.startswith("_")}
+
+
+# --------------------------------------------------------------------- frame
+def train_frame_fold(
+    cfg: ExperimentConfig,
+    train_trials: List[FrameTrial],
+    test_trials: List[FrameTrial],
+    tracker: Optional[RunTracker] = None,
+    exp: Optional[Experiment] = None,
+    frozen: Any = None,
+    gates: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+) -> Dict[str, Any]:
+    """Frame-level training (TeCNo / TransSVNet / COG, batch = one trial).
+
+    ``gates``: {'train': {trial_name: (T,) 0/1}, 'test': …} for the
+    sequential stage-2 regimes (binary-stage predictions / true labels).
+    """
+    exp = exp or Experiment(cfg)
+    average = "binary" if cfg.error_type == "global" else "macro"
+
+    def make_batch(trial, split):
+        gate = None
+        if gates is not None:
+            gate = gates[split].get(trial.name)
+            if gate is None and cfg.error_type == "sequential":
+                gate = (trial.labels_for("sequential") != 0).astype(np.float32)
+        b = frame_batch(trial, cfg, gate=gate)
+        if exp.family == "tsvn":
+            b["tecno_logits"] = np.zeros(
+                (1, b["labels"].shape[0], cfg.out_features), np.float32
+            )
+        return b
+
+    state = exp.init_state(
+        jax.random.key(cfg.seed),
+        _device_batch(make_batch(train_trials[0], "train")),
+        frozen=frozen,
+    )
+
+    best, best_ckpt, history = None, None, []
+    for epoch in range(cfg.n_epochs):
+        state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
+        t0 = time.time()
+        order = np.random.default_rng(cfg.seed + epoch).permutation(len(train_trials))
+        cms, losses = [], []
+        for i in order:
+            batch = make_batch(train_trials[i], "train")
+            state, m = exp.train_step(state, _device_batch(batch))
+            cms.append(m["cm"])
+            losses.append(m["loss"])
+        train_time = time.time() - t0
+        train_m = _epoch_metrics([np.asarray(c) for c in cms], average,
+                                 per_batch=False)
+        train_loss = float(np.mean([float(l) for l in losses]))
+
+        ev = evaluate_frame_fold(cfg, exp, state, test_trials, gates)
+        row = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "train_f1": train_m["f1"],
+            "train_f1_weighted": train_m.get("f1_weighted", train_m["f1"]),
+            "train_acc": train_m["accuracy"],
+            "train_jaccard": train_m["jaccard"],
+            "train_time": train_time,
+            **{f"test_{k}": v for k, v in ev["metrics"].items()},
+        }
+        history.append(row)
+        if tracker:
+            tracker.log_metrics(
+                {k: v for k, v in row.items() if np.isscalar(v)}, step=epoch
+            )
+        if _better(cfg, row, best):
+            best = dict(row)
+            best.update({k: ev[k] for k in
+                         ("preds", "probs", "labels", "gestures", "subjects", "cm")})
+            best_ckpt = jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants}
+            )
+
+    return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
+
+
+def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None) -> Dict:
+    average = "binary" if cfg.error_type == "global" else "macro"
+    preds, probs, labels, gests, subjects, cms, losses = [], [], [], [], [], [], []
+    t_infer, n_frames = 0.0, 0
+    for trial in test_trials:
+        gate = None
+        if gates is not None:
+            gate = gates["test"].get(trial.name)
+        batch = frame_batch(trial, cfg, gate=gate)
+        if exp.family == "tsvn":
+            batch["tecno_logits"] = np.zeros(
+                (1, batch["labels"].shape[0], cfg.out_features), np.float32
+            )
+        T = int(batch["true_len"])
+        t0 = time.time()
+        m = exp.eval_step(state, _device_batch(batch))
+        jax.block_until_ready(m["preds"])
+        t_infer += time.time() - t0
+        n_frames += T
+        preds.append(np.asarray(m["preds"])[:T])
+        probs.append(np.asarray(m["probs"])[:T])
+        labels.append(batch["labels"][:T])
+        gests.append(batch["_gestures"][:T])
+        subjects.extend([trial.name] * T)
+        cms.append(np.asarray(m["cm"]))
+        losses.append(float(m["loss"]))
+    pooled = _epoch_metrics(cms, average, per_batch=False)
+    return {
+        "metrics": {
+            "loss": float(np.mean(losses)),
+            "f1": pooled["f1"],
+            "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
+            "acc": pooled["accuracy"],
+            "jaccard": pooled["jaccard"],
+            "inference_ms_per_frame": t_infer / max(n_frames, 1) * 1e3,
+        },
+        "preds": np.concatenate(preds),
+        "probs": np.concatenate(probs),
+        "labels": np.concatenate(labels),
+        "gestures": np.concatenate(gests),
+        "subjects": np.asarray(subjects, dtype=object),
+        "cm": pooled["cm"],
+    }
