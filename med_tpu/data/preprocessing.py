@@ -1,0 +1,261 @@
+"""Offline JIGSAWS preprocessing (reference MED/dataset/preprocessing_utils.py).
+
+Array-level transforms (pure numpy, golden-tested) with thin file-level
+drivers. The reference's semantics, reproduced exactly:
+
+- kinematics: of the 76 JIGSAWS columns keep the slave block (cols 39-76,
+  1-based), convert each arm's 3x3 rotation matrix to Euler roll/pitch/yaw ->
+  26 features ordered [xyz, rpy, vel xyz, rotvel xyz, grip] per arm; 30 Hz ->
+  N Hz by keeping every (30//N)-th row; frame numbers are 1-based
+  (preprocessing_utils.py:120-234);
+- gestures: expand (start, end, G#) transcription rows into a per-frame
+  integer vector for the kinematics frames covered by the transcription
+  (:239-310);
+- errors: per-trial frame x 5 table [OOV, ND, MA, NP, Error] built by
+  painting labeled trial segments (name embeds start/end frames) over the
+  transcription range, NaN->0, subsampled to the kinematics frames
+  (:314-497);
+- alignment: drop frames outside the transcription range (:501-583), purge
+  gestures 10/11 everywhere (:587-683);
+- frame pixels: decode -> resize 240x240 -> center-crop 224 -> /255 ->
+  normalize (:57-79 + image_transform :697-705). The pixel pipeline exists
+  twice: a C++ host kernel (native/medtpu_native.cpp) for offline use and a
+  fused JAX graph for on-device preprocessing ahead of the ResNet.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import RAW_ERROR_COLUMNS
+
+# slave kinematics block: 0-based column offsets into the 76-col file
+_SLAVE_START = 38  # col 39 (1-based)
+
+
+def rotation_matrix_to_euler(R: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) rotation matrices -> (..., 3) [roll, pitch, yaw] radians.
+
+    Matches reference rotation_matrix_to_euler_angles
+    (preprocessing_utils.py:90-117) including the gimbal-lock branch.
+    """
+    R = np.asarray(R, np.float64)
+    sy = np.sqrt(R[..., 0, 0] ** 2 + R[..., 1, 0] ** 2)
+    singular = sy < 1e-6
+    x = np.where(
+        singular,
+        np.arctan2(-R[..., 1, 2], R[..., 1, 1]),
+        np.arctan2(R[..., 2, 1], R[..., 2, 2]),
+    )
+    y = np.arctan2(-R[..., 2, 0], sy)
+    z = np.where(singular, 0.0, np.arctan2(R[..., 1, 0], R[..., 0, 0]))
+    return np.stack([x, y, z], axis=-1)
+
+
+def process_kinematics_array(
+    raw: np.ndarray, frequency: int = 30
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 76) raw kinematics -> ((M, 26) features, (M,) 1-based frames)."""
+    raw = np.asarray(raw, np.float64)
+    if raw.shape[1] != 76:
+        raise ValueError(f"expected 76 kinematic columns, got {raw.shape[1]}")
+    slave = raw[:, _SLAVE_START : _SLAVE_START + 38]
+
+    def arm(block):
+        xyz = block[:, 0:3]
+        R = block[:, 3:12].reshape(-1, 3, 3)
+        rpy = rotation_matrix_to_euler(R)
+        vel = block[:, 12:15]
+        rotvel = block[:, 15:18]
+        grip = block[:, 18:19]
+        return np.concatenate([xyz, rpy, vel, rotvel, grip], axis=1)
+
+    feats = np.concatenate([arm(slave[:, :19]), arm(slave[:, 19:])], axis=1)
+    frames = np.arange(1, len(feats) + 1)
+    if frequency != 30:
+        step = 30 // frequency
+        feats = feats[::step]
+        frames = frames[::step]
+    return feats.astype(np.float32), frames
+
+
+def gestures_for_frames(
+    transcript: Sequence[Tuple[int, int, int]], frames: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame gesture ints for the given frame numbers.
+
+    Returns (gesture_vector, covered_mask): frames outside every
+    transcription row are *skipped* (not zero-filled), matching reference
+    process_gestures (:286-297); covered_mask marks which input frames got a
+    gesture.
+    """
+    frames = np.asarray(frames)
+    gestures = np.zeros(len(frames), np.int64)
+    covered = np.zeros(len(frames), bool)
+    for start, end, g in transcript:
+        sel = (frames >= start) & (frames <= end) & ~covered
+        gestures[sel] = g
+        covered[sel] = True
+    return gestures[covered], covered
+
+
+def errors_for_frames(
+    transcript: Sequence[Tuple[int, int, int]],
+    segments: Dict[str, List[Tuple[int, int, int]]],
+    frames: np.ndarray,
+) -> np.ndarray:
+    """(len(frames), 5) error table.
+
+    ``segments``: error column name -> list of (start, end, value) labeled
+    trial segments (the reference extracts start/end from consensus-CSV
+    names like Needle_Passing_B001_120_480.avi, :423-430). Later segments
+    overwrite earlier ones on overlap (the reference's .loc assignment
+    order); unlabeled frames are 0 (fillna, :482).
+    """
+    frames = np.asarray(frames)
+    start_t = min(s for s, _, _ in transcript)
+    end_t = max(e for _, e, _ in transcript)
+    out = np.zeros((len(frames), len(RAW_ERROR_COLUMNS)), np.int64)
+    keep = (frames >= start_t) & (frames <= end_t)
+    for col, name in enumerate(RAW_ERROR_COLUMNS):
+        for s, e, value in segments.get(name, ()):
+            sel = (frames >= s) & (frames <= e)
+            out[sel, col] = value
+    return out[keep], keep
+
+
+def trim_to_transcript(
+    frames: np.ndarray, transcript: Sequence[Tuple[int, int, int]]
+) -> np.ndarray:
+    """Mask of frames inside [min start, max end] (reference
+    delete_unmatched_* :501-583)."""
+    frames = np.asarray(frames)
+    start_t = min(s for s, _, _ in transcript)
+    end_t = max(e for _, e, _ in transcript)
+    return (frames >= start_t) & (frames <= end_t)
+
+
+def purge_gestures(
+    gestures: np.ndarray, remove: Tuple[int, ...] = (10, 11)
+) -> np.ndarray:
+    """Keep-mask dropping the removed gesture ids (reference
+    delete_gesture_frames/vectors :587-683)."""
+    g = np.asarray(gestures)
+    return ~np.isin(g, remove)
+
+
+def parse_transcript_file(path: str) -> List[Tuple[int, int, int]]:
+    """'start end G#' rows -> [(start, end, gesture_int)]."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 3:
+                rows.append(
+                    (int(parts[0]), int(parts[1]), int(parts[2].replace("G", "")))
+                )
+    return rows
+
+
+def parse_segment_name(name: str) -> Tuple[int, int]:
+    """'..._<start>_<end>.avi' -> (start, end) (reference :423-424)."""
+    import re
+
+    start = re.search(r"_(\d+)_", name)
+    end = re.search(r"_(\d+)\.avi", name)
+    if not start or not end:
+        raise ValueError(f"cannot parse segment frames from {name!r}")
+    return int(start.group(1)), int(end.group(1))
+
+
+# ------------------------------------------------------------------ pixels
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess_frames_native(
+    frames_uint8: np.ndarray,
+    mean: np.ndarray = IMAGENET_MEAN,
+    std: np.ndarray = IMAGENET_STD,
+) -> Optional[np.ndarray]:
+    """C++ resize(240)->crop(224)->/255->normalize; None if lib missing."""
+    from ..utils.native import get_native_lib
+
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    frames_uint8 = np.ascontiguousarray(frames_uint8, np.uint8)
+    n, h, w, _ = frames_uint8.shape
+    out = np.empty((n, 224, 224, 3), np.float32)
+    lib.preprocess_frames(
+        frames_uint8, n, h, w,
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32),
+        out,
+    )
+    return out
+
+
+def jax_preprocess_frames(frames_uint8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Fused on-device preprocessing graph: bilinear resize 240 -> center
+    crop 224 -> /255 -> normalize. Feeds the ResNet without host-side pixel
+    work (BASELINE.json: 'fused JAX/XLA preprocessing graph')."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(frames_uint8).astype(jnp.float32)
+    n = x.shape[0]
+    x = jax.image.resize(x, (n, 240, 240, 3), method="bilinear")
+    x = x[:, 8:232, 8:232, :]
+    x = x / 255.0
+    return (x - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+def decode_video_frames(path: str, frequency: int = 30):
+    """Best-effort video decode: OpenCV if importable, else ffmpeg pipe, else
+    raises. (Neither ships in this image — the decode path is gated, the
+    downstream pixel pipeline is covered by the native/JAX kernels above.)"""
+    try:
+        import cv2  # type: ignore
+
+        cap = cv2.VideoCapture(path)
+        frames = []
+        count = 1
+        step = 30 // frequency if frequency != 30 else 1
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            if frequency == 30 or count % step == 1:
+                frames.append(frame[..., ::-1])  # BGR -> RGB
+            count += 1
+        cap.release()
+        return np.stack(frames) if frames else np.empty((0, 0, 0, 3), np.uint8)
+    except ImportError:
+        pass
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg:
+        raise RuntimeError(
+            "no video decoder available (cv2/ffmpeg missing); "
+            "provide pre-extracted frames instead"
+        )
+    probe = subprocess.run(
+        [ffmpeg.replace("ffmpeg", "ffprobe"), "-v", "quiet", "-select_streams",
+         "v:0", "-show_entries", "stream=width,height", "-of", "csv=p=0", path],
+        capture_output=True, text=True,
+    )
+    w, h = map(int, probe.stdout.strip().split(","))
+    proc = subprocess.run(
+        [ffmpeg, "-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-v",
+         "quiet", "-"],
+        capture_output=True,
+    )
+    frames = np.frombuffer(proc.stdout, np.uint8).reshape(-1, h, w, 3)
+    if frequency != 30:
+        frames = frames[:: 30 // frequency]
+    return frames
