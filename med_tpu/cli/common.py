@@ -1,0 +1,180 @@
+"""Shared CLI plumbing: argparse <-> ExperimentConfig, fold orchestration,
+artifact writing."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config import LOSO_FOLDS, ExperimentConfig
+from ..data.datasets import build_frame_fold, build_window_fold
+from ..eval.summary import create_summary, summary_to_text
+from ..tracking import RunTracker
+from ..train.checkpoint import save_checkpoint
+from ..train.loop import train_frame_fold, train_window_fold
+
+_CONFIG_FIELDS = [
+    ("model_name", str), ("data_type", str), ("error_type", str),
+    ("frequency", int), ("n_epochs", int), ("batch_size", int),
+    ("lr", float), ("weight_decay", float), ("video_dims", int),
+    ("out_features", int), ("hidden_size", int), ("num_layers", int),
+    ("mstcn_stages", int), ("mstcn_layers", int), ("mstcn_f_maps", int),
+    ("num_R", int), ("num_layers_R", int), ("num_layers_Basic", int),
+    ("d_model", int), ("d_q", int), ("sequence_length", int),
+    ("smooth_lambda", float), ("n_pairs", int), ("n_comparisons", int),
+    ("seed", int), ("loss_or_f1", str), ("run_id", str),
+]
+_BOOL_FIELDS = ["lr_scheduler", "pos_weight", "delete_ND", "siamese",
+                "mstcn_causal_conv", "use_pallas", "SRM", "use_skill_prompt"]
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data-root", required=True,
+                   help="directory containing one subdir per fold")
+    p.add_argument("--video-root", default=None,
+                   help="optional external 2048-d feature trials (COG features)")
+    p.add_argument("--folds", default=",".join(LOSO_FOLDS),
+                   help="comma-separated fold names")
+    p.add_argument("--setting", default="LOSO")
+    p.add_argument("--runs-root", default="runs")
+    p.add_argument("--experiment", default=None)
+    defaults = ExperimentConfig()
+    for name, typ in _CONFIG_FIELDS:
+        p.add_argument(f"--{name.replace('_', '-').lower()}", dest=name,
+                       type=typ, default=getattr(defaults, name, None))
+    for name in _BOOL_FIELDS:
+        flag = name.replace("_", "-").lower()
+        p.add_argument(f"--{flag}", dest=name, action="store_true",
+                       default=getattr(defaults, name))
+        p.add_argument(f"--no-{flag}", dest=name, action="store_false")
+    return p
+
+
+def config_from_args(args, **overrides) -> ExperimentConfig:
+    kw = {}
+    for name, _ in _CONFIG_FIELDS:
+        v = getattr(args, name, None)
+        if v is not None:
+            kw[name] = v
+    for name in _BOOL_FIELDS:
+        kw[name] = getattr(args, name)
+    kw.update(overrides)
+    return ExperimentConfig(**kw)
+
+
+def make_tracker(args, cfg: ExperimentConfig) -> RunTracker:
+    experiment = args.experiment or (
+        f"{cfg.model_name}_{cfg.frequency}Hz_{cfg.data_type}"
+    )
+    tracker = RunTracker(root=args.runs_root, experiment=experiment)
+    tracker.log_params(cfg.to_dict())
+    print(f"run: {tracker.dir}")
+    return tracker
+
+
+def _dump_best(tracker: RunTracker, tag: str, best: dict, cfg) -> None:
+    dump = {
+        k: v for k, v in best.items()
+        if np.isscalar(v) or isinstance(v, (int, float))
+    }
+    for k in ("preds", "probs", "labels", "gestures"):
+        if best.get(k) is not None:
+            dump[k] = np.asarray(best[k]).tolist()
+    if best.get("subjects") is not None:
+        dump["subjects"] = [str(s) for s in best["subjects"]]
+    dump["cm"] = np.asarray(best["cm"]).tolist()
+    tracker.log_dict(dump, f"best_model_{tag}.json")
+
+
+def run_window_folds(
+    args,
+    cfg: ExperimentConfig,
+    extras_fn: Optional[Callable[[str, object, object], dict]] = None,
+    siamese_fn: Optional[Callable] = None,
+) -> Dict[str, dict]:
+    """Train all folds of a window experiment; save checkpoints, artifacts
+    and the weighted summary (the fold loop of train_window.ipynb cell 2)."""
+    folds = [f for f in args.folds.split(",") if f]
+    tracker = make_tracker(args, cfg)
+    fold_results, samples_tr, samples_te = {}, {}, {}
+    for out in folds:
+        fold_dir = os.path.join(args.data_root, out)
+        train_fold, test_fold = build_window_fold(fold_dir, cfg, args.video_root)
+        tag = f"{args.setting}_{out}"
+        print(f"[{tag}] train windows={len(train_fold)} test={len(test_fold)}")
+        extras = extras_fn(out, train_fold, test_fold) if extras_fn else None
+        siamese_data = siamese_fn(out, train_fold, test_fold) if siamese_fn else None
+        res = train_window_fold(cfg, train_fold, test_fold, tracker=tracker,
+                                tag=tag, siamese_data=siamese_data,
+                                extras=extras)
+        best = res["best"]
+        save_checkpoint(
+            tracker.checkpoint_path(f"best_model_{tag}.npz"),
+            res["checkpoint"]["params"], res["checkpoint"]["batch_stats"],
+            res["checkpoint"].get("constants"), meta={"cfg": cfg.to_dict()},
+        )
+        _dump_best(tracker, tag, best, cfg)
+        fold_results[out] = best
+        samples_tr[out] = len(train_fold)
+        samples_te[out] = len(test_fold)
+        print(f"[{tag}] best test F1={best['test_f1']:.3f} "
+              f"acc={best['test_acc']:.3f}")
+    summary = create_summary(fold_results, samples_tr, samples_te)
+    tracker.log_dict(summary, "summary.json")
+    print(summary_to_text(summary))
+    return fold_results, tracker
+
+
+def run_frame_folds(
+    args,
+    cfg: ExperimentConfig,
+    frozen_fn: Optional[Callable[[str], object]] = None,
+    gates_fn: Optional[Callable[[str, list, list], dict]] = None,
+) -> Dict[str, dict]:
+    folds = [f for f in args.folds.split(",") if f]
+    tracker = make_tracker(args, cfg)
+    fold_results, samples_tr, samples_te = {}, {}, {}
+    frame_dumps = {}
+    for out in folds:
+        fold_dir = os.path.join(args.data_root, out)
+        train_trials = build_frame_fold(fold_dir, cfg, "train.csv", args.video_root)
+        test_trials = build_frame_fold(fold_dir, cfg, "test.csv", args.video_root)
+        tag = f"{args.setting}_{out}"
+        print(f"[{tag}] train trials={len(train_trials)} test={len(test_trials)}")
+        frozen = frozen_fn(out) if frozen_fn else None
+        gates = gates_fn(out, train_trials, test_trials) if gates_fn else None
+        res = train_frame_fold(cfg, train_trials, test_trials, tracker=tracker,
+                               frozen=frozen, gates=gates)
+        best = res["best"]
+        save_checkpoint(
+            tracker.checkpoint_path(f"best_model_{tag}.npz"),
+            res["checkpoint"]["params"], res["checkpoint"]["batch_stats"],
+            res["checkpoint"].get("constants"), meta={"cfg": cfg.to_dict()},
+        )
+        _dump_best(tracker, tag, best, cfg)
+        fold_results[out] = best
+        samples_tr[out] = sum(t.n_frames for t in train_trials)
+        samples_te[out] = sum(t.n_frames for t in test_trials)
+        frame_dumps[out] = {k: best[k] for k in
+                            ("preds", "labels", "gestures", "subjects")}
+        print(f"[{tag}] best test F1={best['test_f1']:.3f}")
+    summary = create_summary(fold_results, samples_tr, samples_te)
+    tracker.log_dict(summary, "summary.json")
+    print(summary_to_text(summary))
+
+    # frame -> window rollup (train_frame.ipynb cell 4)
+    from ..eval.rollup import compute_window_metrics
+
+    binary = cfg.error_type == "global"
+    wsum, wcm = compute_window_metrics(
+        frame_dumps, cfg.window_size, cfg.stride, binary=binary,
+        n_classes=2 if binary else 6,
+    )
+    tracker.log_dict({"windowed": wsum, "cm": wcm.tolist()},
+                     "windowed_metrics.json")
+    print("windowed:", wsum)
+    return fold_results, tracker

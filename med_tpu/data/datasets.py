@@ -106,10 +106,12 @@ def window_batches(
     shuffle: bool,
     seed: int = 42,
     epoch: int = 0,
+    extras: Optional[Dict[str, np.ndarray]] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Fixed-shape batches with padding mask. Shuffling is deterministic in
     (seed, epoch), standing in for the reference's seeded DataLoader
-    generator (dataset_utils.py:526-527)."""
+    generator (dataset_utils.py:526-527). ``extras`` adds per-window arrays
+    (e.g. the sequential stage's binary gate) sliced alongside."""
     n = len(fold)
     idx = np.arange(n)
     if shuffle:
@@ -122,7 +124,7 @@ def window_batches(
         sel = np.concatenate([take, np.zeros(pad, np.int64)]) if pad else take
         mask = np.concatenate([np.ones(len(take), np.float32),
                                np.zeros(pad, np.float32)])
-        yield {
+        batch = {
             "images": fold.images[sel],
             "kinematics": fold.kinematics[sel],
             "labels": labels[sel],
@@ -130,6 +132,10 @@ def window_batches(
             "_index": sel,
             "_valid": len(take),
         }
+        if extras:
+            for k, v in extras.items():
+                batch[k] = np.asarray(v)[sel]
+        yield batch
 
 
 def n_window_batches(fold: WindowFold, cfg: ExperimentConfig) -> int:

@@ -281,12 +281,16 @@ def _loss_for_family(cfg: ExperimentConfig, family: str, out, batch, constants):
             }
         if cfg.error_type == "sequential":
             # labels are powerset classes 0..5; train only on true errors,
-            # targets shifted to 0..4 (reference modeling_utils.py:611-625)
+            # targets shifted to 0..4 (reference modeling_utils.py:611-625).
+            # Predictions are gated by batch['gate'] — true labels during
+            # training, the frozen binary stage's predictions at eval
+            # (reference validate_single_epoch_Sequential :977-998).
             err_mask = (labels != 0).astype(jnp.float32)
             m = err_mask if mask is None else err_mask * mask
             loss = losses.cross_entropy(out, jnp.maximum(labels - 1, 0), m)
             preds = jnp.argmax(out, axis=-1) + 1
-            gated = jnp.where(labels == 0, 0, preds)
+            gate = batch.get("gate", err_mask)
+            gated = jnp.where(gate > 0, preds, 0)
             cm_all = confusion_matrix(labels, gated, 6, mask)
             cm_spec = confusion_matrix(
                 jnp.maximum(labels - 1, 0), preds - 1, 5, m

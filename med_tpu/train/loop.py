@@ -87,20 +87,25 @@ def train_window_fold(
     tag: str = "LOSO_1Out",
     exp: Optional[Experiment] = None,
     siamese_data: Optional[dict] = None,
+    extras: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
 ) -> Dict[str, Any]:
     """Full training of one fold for the window families.
 
     ``siamese_data``: {'train': (img (P,2,W,F), kin, labels),
     'test': (...), 'test_position_2': (Pt,)} overrides the window batches
     with pair batches when cfg.siamese.
+    ``extras``: {'train': {name: (Nw,…)}, 'test': …} additional per-window
+    arrays (e.g. the sequential stage's binary gate).
     """
     exp = exp or Experiment(cfg)
     average = _average_for(cfg)
 
+    extras = extras or {}
     if cfg.siamese:
         batches0 = list(_siamese_batches(cfg, siamese_data["train"], shuffle=False))
     else:
-        batches0 = [next(window_batches(train_fold, cfg, shuffle=False))]
+        batches0 = [next(window_batches(train_fold, cfg, shuffle=False,
+                                        extras=extras.get("train")))]
     state = exp.init_state(
         jax.random.key(cfg.seed),
         _device_batch(batches0[0]),
@@ -118,7 +123,8 @@ def train_window_fold(
         train_iter = (
             _siamese_batches(cfg, siamese_data["train"], shuffle=True, epoch=epoch)
             if cfg.siamese
-            else window_batches(train_fold, cfg, shuffle=True, epoch=epoch)
+            else window_batches(train_fold, cfg, shuffle=True, epoch=epoch,
+                                extras=extras.get("train"))
         )
         for batch in train_iter:
             state, metrics = exp.train_step(state, _device_batch(batch))
@@ -129,7 +135,8 @@ def train_window_fold(
         train_m = _epoch_metrics(train_cms, average, per_batch=True)
         train_loss = float(np.mean([float(l) for l in losses]))
 
-        ev = evaluate_window_fold(cfg, exp, state, test_fold, siamese_data)
+        ev = evaluate_window_fold(cfg, exp, state, test_fold, siamese_data,
+                                  extras=extras.get("test"))
         epoch_row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -166,7 +173,8 @@ def train_window_fold(
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 
-def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None) -> Dict:
+def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None,
+                         extras=None) -> Dict:
     """Pooled eval pass; returns metrics + ordered prediction dumps."""
     average = _average_for(cfg)
     preds, probs, cms, losses = [], [], [], []
@@ -175,7 +183,7 @@ def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None) -> Dict:
     test_iter = (
         _siamese_batches(cfg, siamese_data["test"], shuffle=False)
         if cfg.siamese
-        else window_batches(test_fold, cfg, shuffle=False)
+        else window_batches(test_fold, cfg, shuffle=False, extras=extras)
     )
     for batch in test_iter:
         valid = batch["_valid"]

@@ -1,0 +1,117 @@
+"""CLI driver integration tests on a synthetic fold (staged pipelines
+included: binary stage -> sequential stage, two runs -> ensemble)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from med_tpu.cli.common import base_parser, config_from_args
+from med_tpu.cli import (
+    ensemble as cli_ensemble,
+    train_window as cli_tw,
+    train_window_es_sequential as cli_seq,
+)
+from med_tpu.cli.common import run_frame_folds, run_window_folds
+from tests.test_end_to_end import make_synth_fold
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("data")
+    fold = make_synth_fold(root, rng, n_trials=4, frames_per_trial=140)
+    dst = root / "1Out"
+    os.rename(fold, dst)
+    return str(root)
+
+
+def _args(parser, data_root, runs_root, extra=()):
+    return parser.parse_args(
+        ["--data-root", data_root, "--folds", "1Out", "--runs-root", runs_root,
+         "--n-epochs", "2", "--batch-size", "32", *extra]
+    )
+
+
+def test_train_window_cli(data_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs)
+    cfg = config_from_args(args, error_type="global", dataset_type="window",
+                           out_features=1)
+    results, tracker = run_window_folds(args, cfg)
+    assert "1Out" in results
+    art = os.path.join(tracker.dir, "artifacts", "best_model_LOSO_1Out.json")
+    with open(art) as f:
+        dump = json.load(f)
+    assert "preds" in dump and "probs" in dump and "subjects" in dump
+    assert os.path.exists(
+        os.path.join(tracker.dir, "checkpoints", "best_model_LOSO_1Out.npz")
+    )
+    assert os.path.exists(os.path.join(tracker.dir, "artifacts", "summary.json"))
+
+
+def test_sequential_window_pipeline(data_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    # stage 1: binary LSTM
+    p = base_parser("t")
+    args1 = _args(p, data_root, runs, ("--model-name", "SimpleLSTM"))
+    cfg1 = config_from_args(args1, error_type="global", dataset_type="window",
+                            out_features=1)
+    _, tr1 = run_window_folds(args1, cfg1)
+
+    # stage 2: sequential 5-class gated by stage-1 predictions
+    p2 = base_parser("t")
+    args2 = _args(
+        p2, data_root, runs,
+        ("--model-name", "SimpleCNN", "--run-id", tr1.run_id, "--delete-nd"),
+    )
+    cfg2 = config_from_args(args2, error_type="sequential",
+                            dataset_type="window", out_features=5)
+    results, tr2 = run_window_folds(
+        args2, cfg2, extras_fn=cli_seq._gate_fn(args2, cfg2)
+    )
+    best = results["1Out"]
+    assert best["cm"].shape == (6, 6)
+
+
+def test_frame_cli_and_ensemble(data_root, tmp_path, capsys):
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    # two binary frame runs (TeCNo kinematics) -> soft vote
+    run_ids = []
+    for seed in (0, 1):
+        args = _args(p, data_root, runs,
+                     ("--model-name", "TeCNo", "--data-type", "kinematics",
+                      "--mstcn-layers", "3", "--mstcn-f-maps", "8",
+                      "--seed", str(seed), "--no-lr-scheduler"))
+        cfg = config_from_args(args, error_type="global", dataset_type="frame",
+                               out_features=2, batch_size=1)
+        _, tr = run_frame_folds(args, cfg)
+        run_ids.append(tr.run_id)
+        assert os.path.exists(
+            os.path.join(tr.dir, "artifacts", "windowed_metrics.json")
+        )
+
+    cli_ensemble.main(
+        ["--runs-root", runs, "--folds", "1Out", "--mode", "soft_vote",
+         "--run-a", run_ids[0], "--run-b", run_ids[1]]
+    )
+    out = capsys.readouterr().out
+    assert "soft_vote binary F1" in out
+
+
+def test_siamese_cli(data_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs,
+                 ("--model-name", "Siamese_CNN", "--n-pairs", "128",
+                  "--n-comparisons", "3"))
+    cfg = config_from_args(args, error_type="global", dataset_type="window",
+                           out_features=1).replace(siamese=True)
+    results, _ = run_window_folds(
+        args, cfg, siamese_fn=cli_tw._siamese_data_fn(cfg)
+    )
+    best = results["1Out"]
+    assert "vote_preds" in best or best["cm"].shape == (2, 2)
