@@ -87,7 +87,9 @@ def load_trial(path: str, video_path: Optional[str] = None) -> Trial:
     else:
         img = _to_numpy(feats_src["image_feats"])
     n = img.shape[0]
-    img = img.reshape(n, -1).astype(np.float32)
+    if img.ndim <= 2:  # feature vectors; raw (N,H,W,3) frames stay 4-D
+        img = img.reshape(n, -1)
+    img = img.astype(np.float32)
 
     return Trial(
         name=name,
