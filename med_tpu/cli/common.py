@@ -81,7 +81,7 @@ def _dump_best(tracker: RunTracker, tag: str, best: dict, cfg) -> None:
         k: v for k, v in best.items()
         if np.isscalar(v) or isinstance(v, (int, float))
     }
-    for k in ("preds", "probs", "labels", "gestures"):
+    for k in ("preds", "probs", "labels", "gestures", "raw_labels"):
         if best.get(k) is not None:
             dump[k] = np.asarray(best[k]).tolist()
     if best.get("subjects") is not None:

@@ -37,6 +37,7 @@ class WindowFold:
     g_labels: np.ndarray      # (Nw, 1)
     e_powerset: np.ndarray    # (Nw, 7)
     subjects: np.ndarray      # (Nw,) object
+    e_raw: Optional[np.ndarray] = None   # (Nw, 5) raw multi-hot error labels
 
     def __len__(self):
         return len(self.images)
@@ -87,7 +88,9 @@ def build_window_fold(
         pw, nd_mask = powerset_error_labels(ew, delete_ND=cfg.delete_ND)
         if cfg.delete_ND:
             keep = ~nd_mask
-            iw, kw, gw, pw, sw = iw[keep], kw[keep], gw[keep], pw[keep], sw[keep]
+            iw, kw, gw, pw, sw, ew = (
+                iw[keep], kw[keep], gw[keep], pw[keep], sw[keep], ew[keep]
+            )
         out.append(
             WindowFold(
                 images=standardize(iw, stats["image"]),
@@ -95,6 +98,7 @@ def build_window_fold(
                 g_labels=gw,
                 e_powerset=pw,
                 subjects=sw,
+                e_raw=np.asarray(ew),
             )
         )
     return out[0], out[1]
@@ -156,6 +160,7 @@ class FrameTrial:
     g_labels: np.ndarray      # (T,)
     e_powerset: np.ndarray    # (T, 7)
     skill: np.ndarray         # (T, 3)
+    e_raw: Optional[np.ndarray] = None   # (T, 5)
 
     @property
     def n_frames(self):
@@ -203,6 +208,7 @@ def build_frame_fold(
                 g_labels=t.g_labels[keep],
                 e_powerset=pw[keep],
                 skill=skill_one_hot(t.name, int(keep.sum())),
+                e_raw=t.e_labels[keep],
             )
         )
     return out

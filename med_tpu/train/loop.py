@@ -160,6 +160,7 @@ def train_window_fold(
                     "preds": ev["preds"],
                     "probs": ev["probs"],
                     "labels": ev["labels"],
+                    "raw_labels": ev.get("raw_labels"),
                     "gestures": ev.get("gestures"),
                     "subjects": ev.get("subjects"),
                     "cm": ev["cm"],
@@ -237,6 +238,7 @@ def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None,
         "preds": np.concatenate(preds),
         "probs": np.concatenate(probs),
         "labels": test_fold.labels_for(cfg.error_type),
+        "raw_labels": test_fold.e_raw,
         "gestures": test_fold.g_labels.reshape(-1),
         "subjects": test_fold.subjects,
         "cm": pooled["cm"],
@@ -356,7 +358,8 @@ def train_frame_fold(
         if _better(cfg, row, best):
             best = dict(row)
             best.update({k: ev[k] for k in
-                         ("preds", "probs", "labels", "gestures", "subjects", "cm")})
+                         ("preds", "probs", "labels", "raw_labels", "gestures",
+                          "subjects", "cm")})
             best_ckpt = jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants}
@@ -368,6 +371,7 @@ def train_frame_fold(
 def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None) -> Dict:
     average = "binary" if cfg.error_type == "global" else "macro"
     preds, probs, labels, gests, subjects, cms, losses = [], [], [], [], [], [], []
+    raw_labels = []
     t_infer, n_frames = 0.0, 0
     for trial in test_trials:
         gate = None
@@ -388,6 +392,8 @@ def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None) -> Dict:
         probs.append(np.asarray(m["probs"])[:T])
         labels.append(batch["labels"][:T])
         gests.append(batch["_gestures"][:T])
+        if trial.e_raw is not None:
+            raw_labels.append(trial.e_raw[:T])
         subjects.extend([trial.name] * T)
         cms.append(np.asarray(m["cm"]))
         losses.append(float(m["loss"]))
@@ -404,6 +410,7 @@ def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None) -> Dict:
         "preds": np.concatenate(preds),
         "probs": np.concatenate(probs),
         "labels": np.concatenate(labels),
+        "raw_labels": np.concatenate(raw_labels) if raw_labels else None,
         "gestures": np.concatenate(gests),
         "subjects": np.asarray(subjects, dtype=object),
         "cm": pooled["cm"],
