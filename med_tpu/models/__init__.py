@@ -70,6 +70,9 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
             len_q=cfg.sequence_length,
             use_pallas=cfg.use_pallas,
             prompt_path=prompt_path,
+            use_all_gestures=cfg.use_all_gestures,
+            use_skill_prompt=cfg.use_skill_prompt,
+            srm=cfg.SRM,
         )
     raise ValueError(f"model {name!r} is not supported")
 

@@ -192,6 +192,18 @@ class COGStage(nn.Module):
 
 
 class COG(nn.Module):
+    """Configuration variants (reference models_COG.py:262-480):
+
+    - default: 15 gesture prompts via the chain-of-thought block;
+    - ``use_all_gestures=False``: the 8 dataset-observed gestures only;
+    - ``use_skill_prompt=True``: a 45-row table of skill-conditioned prompts
+      ("A self-reported {skill}-skilled surgeon is {gesture} …", 3 skills x
+      15 gestures, models_COG.py:416-424);
+    - ``srm=True``: a second chain ("skill-reasoning module") over 15 skill
+      statements, concatenated with the gesture chain before the TCN paths
+      (models_COG.py:489-492).
+    """
+
     num_layers_basic: int = 11
     num_layers_r: int = 10
     num_r: int = 3
@@ -202,11 +214,25 @@ class COG(nn.Module):
     d_model: int = 64
     d_q: int = 8
     len_q: int = 30
-    n_gestures: int = len(GESTURES)
     gest_dim: int = EMBED_DIM
     fast_pool: int = 16
     use_pallas: bool = True
     prompt_path: Optional[str] = None
+    use_all_gestures: bool = True
+    use_skill_prompt: bool = False
+    srm: bool = False
+
+    def _prompt_texts(self):
+        from .prompts import GESTURES_OBSERVED, SKILL_LEVEL_PROMPTS
+
+        gestures = GESTURES if self.use_all_gestures else GESTURES_OBSERVED
+        if self.use_skill_prompt and not self.srm:
+            return tuple(
+                f"A self-reported {skill}-skilled surgeon is {g} ..."
+                for skill in SKILL_LEVEL_PROMPTS
+                for g in gestures
+            )
+        return gestures
 
     @nn.compact
     def __call__(
@@ -218,13 +244,13 @@ class COG(nn.Module):
         if x.shape[0] != 1:
             raise ValueError("COG processes one trial at a time (B=1)")
 
-        # frozen prompt table, stored outside 'params' so it is never trained
+        # frozen prompt tables, stored outside 'params' so never trained
+        texts = self._prompt_texts()
         gest = self.variable(
             "constants",
             "gest_embed",
             lambda: jnp.asarray(
-                load_prompt_embeddings(self.prompt_path, GESTURES[: self.n_gestures],
-                                       self.gest_dim)
+                load_prompt_embeddings(self.prompt_path, texts, self.gest_dim)
             ),
         ).value
 
@@ -232,7 +258,28 @@ class COG(nn.Module):
             self.f_dim, self.gest_dim, self.d_model, self.d_q, self.len_q,
             use_pallas=self.use_pallas, name="cot",
         )(gest, x[0])  # (T, M*d_model)
-        xx = xx[None]  # (1, T, M*d_model)
+
+        if self.srm:
+            from .prompts import SKILL_STATEMENTS
+
+            skill = self.variable(
+                "constants",
+                "skill_embed",
+                lambda: jnp.asarray(
+                    load_prompt_embeddings(
+                        self.prompt_path.replace("gest", "skill")
+                        if self.prompt_path else None,
+                        SKILL_STATEMENTS, self.gest_dim,
+                    )
+                ),
+            ).value
+            skill_xx = ChainOfGestureTransformer(
+                self.f_dim, self.gest_dim, self.d_model, self.d_q, self.len_q,
+                use_pallas=self.use_pallas, name="cot_skill",
+            )(skill, x[0])
+            xx = jnp.concatenate([xx, skill_xx], axis=-1)
+
+        xx = xx[None]  # (1, T, M*d_model [+ S*d_model])
 
         # --- slow path ---
         f, _ = COGStage(

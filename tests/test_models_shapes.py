@@ -158,3 +158,35 @@ def test_cog_causality():
     x2[0, 70:] += 50.0
     out2, _ = model.apply(variables, jnp.asarray(x2), train=False)
     np.testing.assert_allclose(out1[0][0, :60], out2[0][0, :60], atol=1e-4)
+
+
+def test_cog_variants(rng):
+    """SRM and skill-prompt COG variants (reference models_COG.py:262-480)."""
+    base = dict(
+        model_name="COG", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, use_pallas=False,
+        num_layers_Basic=2, num_layers_R=2, num_R=1, mstcn_stages=3,
+        d_model=16, d_q=2, sequence_length=6,
+    )
+    x = jnp.zeros((1, 48, 26))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+
+    # SRM: second chain over 15 skill statements, features concatenated
+    cfg = ExperimentConfig(**base, SRM=True)
+    m = build_model(cfg)
+    v = m.init(rngs, x, train=False)
+    assert v["constants"]["skill_embed"].shape == (15, 512)
+    out_list, _ = m.apply(v, x, train=False)
+    assert out_list[0].shape == (1, 48, 2)
+
+    # skill-conditioned prompts: 3 skills x 15 gestures = 45 rows
+    cfg = ExperimentConfig(**base, use_skill_prompt=True)
+    m = build_model(cfg)
+    v = m.init(rngs, x, train=False)
+    assert v["constants"]["gest_embed"].shape == (45, 512)
+
+    # observed-gesture subset: 8 rows
+    cfg = ExperimentConfig(**base, use_all_gestures=False)
+    m = build_model(cfg)
+    v = m.init(rngs, x, train=False)
+    assert v["constants"]["gest_embed"].shape == (8, 512)
