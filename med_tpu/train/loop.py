@@ -126,8 +126,12 @@ def train_window_fold(
             else window_batches(train_fold, cfg, shuffle=True, epoch=epoch,
                                 extras=extras.get("train"))
         )
-        for batch in train_iter:
-            state, metrics = exp.train_step(state, _device_batch(batch))
+        from ..utils.prefetch import prefetch_to_device
+
+        for batch in prefetch_to_device(
+            (_device_batch(b) for b in train_iter), depth=cfg.prefetch_depth
+        ):
+            state, metrics = exp.train_step(state, batch)
             cms.append(metrics["cm"])
             losses.append(metrics["loss"])
         train_time = time.time() - t0
