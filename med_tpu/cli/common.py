@@ -42,6 +42,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--setting", default="LOSO")
     p.add_argument("--runs-root", default="runs")
     p.add_argument("--experiment", default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume folds from their last_state snapshots")
     defaults = ExperimentConfig()
     for name, typ in _CONFIG_FIELDS:
         p.add_argument(f"--{name.replace('_', '-').lower()}", dest=name,
@@ -110,7 +112,8 @@ def run_window_folds(
         siamese_data = siamese_fn(out, train_fold, test_fold) if siamese_fn else None
         res = train_window_fold(cfg, train_fold, test_fold, tracker=tracker,
                                 tag=tag, siamese_data=siamese_data,
-                                extras=extras)
+                                extras=extras,
+                                resume=getattr(args, "resume", False))
         best = res["best"]
         save_checkpoint(
             tracker.checkpoint_path(f"best_model_{tag}.npz"),

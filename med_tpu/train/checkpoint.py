@@ -43,3 +43,37 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     return unflatten_dict(flat, sep="/")
+
+
+# ----------------------------------------------------------------- resume
+def save_train_state(path: str, state, epoch: int) -> None:
+    """Full mid-training snapshot (params + optimizer moments + batch stats
+    + rng + step), enabling exact resume. The reference has no resume at all
+    (SURVEY.md §5: best-model-per-fold checkpointing only)."""
+    import jax
+
+    raw = state.replace(rng=jax.random.key_data(state.rng))
+    leaves = jax.tree.leaves(raw)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["epoch"] = np.asarray(epoch)
+    np.savez(path, **arrays)
+
+
+def load_train_state(path: str, template_state):
+    """Restore a snapshot into the structure of ``template_state`` (obtained
+    from ``Experiment.init_state`` with the same config). Returns
+    (state, next_epoch)."""
+    import jax
+
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    raw_template = template_state.replace(
+        rng=jax.random.key_data(template_state.rng)
+    )
+    treedef = jax.tree.structure(raw_template)
+    with np.load(path) as z:
+        epoch = int(z["epoch"])
+        leaves = [z[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    raw = jax.tree.unflatten(treedef, leaves)
+    state = raw.replace(rng=jax.random.wrap_key_data(raw.rng))
+    return state, epoch + 1

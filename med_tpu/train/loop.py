@@ -88,6 +88,7 @@ def train_window_fold(
     exp: Optional[Experiment] = None,
     siamese_data: Optional[dict] = None,
     extras: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """Full training of one fold for the window families.
 
@@ -115,7 +116,14 @@ def train_window_fold(
     best: Optional[Dict] = None
     best_ckpt = None
     history = []
-    for epoch in range(cfg.n_epochs):
+    start_epoch = 0
+    resume_path = tracker.checkpoint_path(f"last_state_{tag}.npz") if tracker else None
+    if resume and resume_path and __import__("os").path.exists(resume_path):
+        from .checkpoint import load_train_state
+
+        state, start_epoch = load_train_state(resume_path, state)
+        print(f"[{tag}] resumed at epoch {start_epoch}")
+    for epoch in range(start_epoch, cfg.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
 
         t0 = time.time()
@@ -138,6 +146,11 @@ def train_window_fold(
         train_cms = [np.asarray(c) for c in cms]
         train_m = _epoch_metrics(train_cms, average, per_batch=True)
         train_loss = float(np.mean([float(l) for l in losses]))
+        if not np.isfinite(train_loss):
+            # NaN watchdog: halt and keep the best checkpoint so far rather
+            # than corrupting subsequent epochs (no reference counterpart)
+            print(f"[{tag}] non-finite train loss at epoch {epoch}; stopping")
+            break
 
         ev = evaluate_window_fold(cfg, exp, state, test_fold, siamese_data,
                                   extras=extras.get("test"))
@@ -174,6 +187,10 @@ def train_window_fold(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants}
             )
+        if resume_path:
+            from .checkpoint import save_train_state
+
+            save_train_state(resume_path, state, epoch)
 
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
