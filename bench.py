@@ -145,7 +145,8 @@ def main():
     from med_tpu.data.preprocessing import jax_preprocess_frames
     from med_tpu.models.resnet import ResNet50
 
-    trunk = ResNet50()
+    # bf16 trunk on TPU: params stay fp32, compute in bfloat16 (MXU-native)
+    trunk = ResNet50(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     NB = 128  # frames per step
     frames0 = jnp.asarray(rng.normal(size=(NB, 240, 320, 3)) * 60 + 127,
                           jnp.float32)
@@ -195,6 +196,7 @@ def main():
             "ref_cog_ms_per_frame": 1.95,
             "e2e_pixels_resnet_head_frames_per_sec": round(e2e_frames_per_sec, 1),
             "e2e_vs_baseline": round(e2e_vs_baseline, 2),
+            "e2e_trunk_dtype": str(trunk.dtype.__name__ if hasattr(trunk.dtype, "__name__") else trunk.dtype),
         },
     }
     print(json.dumps(result))

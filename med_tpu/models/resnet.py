@@ -26,33 +26,30 @@ class Bottleneck(nn.Module):
     features: int           # bottleneck width; output = 4x
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32   # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        conv_kw = dict(use_bias=False, kernel_init=kaiming_normal_fan_out,
+                       dtype=self.dtype)
+        bn_kw = dict(use_running_average=not train, momentum=0.9,
+                     dtype=self.dtype)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False,
-                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+        y = nn.Conv(self.features, (1, 1), name="conv1", **conv_kw)(x)
+        y = nn.BatchNorm(name="bn1", **bn_kw)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=kaiming_normal_fan_out, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                    padding=[(1, 1), (1, 1)], name="conv2", **conv_kw)(y)
+        y = nn.BatchNorm(name="bn2", **bn_kw)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
-                    kernel_init=kaiming_normal_fan_out, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn3")(y)
+        y = nn.Conv(self.features * 4, (1, 1), name="conv3", **conv_kw)(y)
+        y = nn.BatchNorm(name="bn3", **bn_kw)(y)
         if self.downsample:
             residual = nn.Conv(
                 self.features * 4, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, kernel_init=kaiming_normal_fan_out,
-                name="down_conv",
+                name="down_conv", **conv_kw,
             )(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, name="down_bn")(residual)
+            residual = nn.BatchNorm(name="down_bn", **bn_kw)(residual)
         return nn.relu(y + residual)
 
 
@@ -61,14 +58,17 @@ class ResNet50(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
+    dtype: Any = jnp.float32   # bfloat16 for the fast serving path
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         y = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
-                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
+                    kernel_init=kaiming_normal_fan_out, dtype=self.dtype,
+                    name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, n_blocks in enumerate(self.stage_sizes):
@@ -78,9 +78,11 @@ class ResNet50(nn.Module):
                 y = Bottleneck(
                     features, stride=stride,
                     downsample=(block == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(y, train)
-        return jnp.mean(y, axis=(1, 2))  # global average pool -> (B, 2048)
+        # pool in fp32 for a stable feature scale
+        return jnp.mean(y.astype(jnp.float32), axis=(1, 2))
 
 
 class ResNetClassifier(nn.Module):
@@ -90,9 +92,10 @@ class ResNetClassifier(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     n_classes: int = 1
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.trunk = ResNet50(self.stage_sizes, self.width)
+        self.trunk = ResNet50(self.stage_sizes, self.width, self.dtype)
         self.fc1 = nn.Dense(512)
         self.fc2 = nn.Dense(self.n_classes)
 
