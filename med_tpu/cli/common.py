@@ -92,6 +92,27 @@ def _dump_best(tracker: RunTracker, tag: str, best: dict, cfg) -> None:
     tracker.log_dict(dump, f"best_model_{tag}.json")
 
 
+def _plot_fold(tracker, history, setting, out, best) -> None:
+    """Per-fold curves + best-epoch confusion matrix
+    (train_window.ipynb cell 2 plotting)."""
+    try:
+        from ..viz import plot_cm, plot_results_LOSO
+
+        image_dir = os.path.join(tracker.dir, "images")
+        plot_results_LOSO(
+            [h["train_f1"] for h in history],
+            [h["test_f1"] for h in history],
+            [h["train_loss"] for h in history],
+            [h["test_loss"] for h in history],
+            setting, out, image_dir,
+        )
+        cm = np.asarray(best["cm"])
+        plot_cm(None, cm, image_dir,
+                binary="global" if cm.shape[0] == 2 else None)
+    except Exception as e:  # plotting must never kill a training run
+        print(f"plotting skipped: {e}")
+
+
 def run_window_folds(
     args,
     cfg: ExperimentConfig,
@@ -121,6 +142,7 @@ def run_window_folds(
             res["checkpoint"].get("constants"), meta={"cfg": cfg.to_dict()},
         )
         _dump_best(tracker, tag, best, cfg)
+        _plot_fold(tracker, res["history"], args.setting, out, best)
         fold_results[out] = best
         samples_tr[out] = len(train_fold)
         samples_te[out] = len(test_fold)
@@ -159,6 +181,7 @@ def run_frame_folds(
             res["checkpoint"].get("constants"), meta={"cfg": cfg.to_dict()},
         )
         _dump_best(tracker, tag, best, cfg)
+        _plot_fold(tracker, res["history"], args.setting, out, best)
         fold_results[out] = best
         samples_tr[out] = sum(t.n_frames for t in train_trials)
         samples_te[out] = sum(t.n_frames for t in test_trials)

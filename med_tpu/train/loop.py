@@ -350,9 +350,13 @@ def train_frame_fold(
         t0 = time.time()
         order = np.random.default_rng(cfg.seed + epoch).permutation(len(train_trials))
         cms, losses = [], []
-        for i in order:
-            batch = make_batch(train_trials[i], "train")
-            state, m = exp.train_step(state, _device_batch(batch))
+        from ..utils.prefetch import prefetch_to_device
+
+        for batch in prefetch_to_device(
+            (_device_batch(make_batch(train_trials[i], "train")) for i in order),
+            depth=cfg.prefetch_depth,
+        ):
+            state, m = exp.train_step(state, batch)
             cms.append(m["cm"])
             losses.append(m["loss"])
         train_time = time.time() - t0
