@@ -8,7 +8,6 @@ test_pairs_{n}.csv offline — the C++ pair scan makes that unnecessary).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..data.siamese import (
     create_test_pairs,

@@ -21,7 +21,6 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..config import RAW_ERROR_COLUMNS
-from ..ops.metrics import metrics_from_cm
 from ..tracking import RunTracker
 from .ensemble import score_predictions
 from .summary import weighted_mean_std

@@ -20,7 +20,7 @@ Weight initializers mirror the reference's torch inits:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, Optional
 
 import flax.struct

@@ -115,3 +115,47 @@ def test_siamese_cli(data_root, tmp_path):
     )
     best = results["1Out"]
     assert "vote_preds" in best or best["cm"].shape == (2, 2)
+
+
+def test_tsvn_staged_pipeline(data_root, tmp_path):
+    """TeCNo stage-1 -> frozen -> TransSVNet stage-2 via --run-id."""
+    from med_tpu.cli import train_frame as cli_tf
+
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args1 = _args(p, data_root, runs,
+                  ("--model-name", "TeCNo", "--data-type", "kinematics",
+                   "--mstcn-layers", "3", "--mstcn-f-maps", "8",
+                   "--no-lr-scheduler"))
+    cfg1 = config_from_args(args1, error_type="global", dataset_type="frame",
+                            out_features=2, batch_size=1)
+    _, tr1 = run_frame_folds(args1, cfg1)
+
+    p2 = base_parser("t")
+    args2 = _args(p2, data_root, runs,
+                  ("--model-name", "TransSVNet", "--data-type", "kinematics",
+                   "--mstcn-layers", "3", "--mstcn-f-maps", "8",
+                   "--sequence-length", "6", "--run-id", tr1.run_id,
+                   "--no-lr-scheduler"))
+    cfg2 = config_from_args(args2, error_type="global", dataset_type="frame",
+                            out_features=2, batch_size=1)
+    results, _ = run_frame_folds(args2, cfg2, frozen_fn=cli_tf._frozen_fn(args2))
+    assert 0 <= results["1Out"]["test_f1"] <= 1
+
+
+def test_cog_cli(data_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs,
+                 ("--model-name", "COG", "--data-type", "kinematics",
+                  "--num-layers-basic", "2", "--num-layers-r", "2",
+                  "--num-r", "1", "--mstcn-stages", "3", "--d-model", "16",
+                  "--d-q", "2", "--sequence-length", "6",
+                  "--no-lr-scheduler", "--no-use-pallas"))
+    cfg = config_from_args(args, error_type="global", dataset_type="frame",
+                           out_features=2, batch_size=1)
+    results, tr = run_frame_folds(args, cfg)
+    assert "1Out" in results
+    import os
+    assert os.path.exists(os.path.join(tr.dir, "artifacts",
+                                       "windowed_metrics.json"))
