@@ -83,8 +83,15 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
     def preprocess(x):
         return (x.astype(jnp.float32) / 255.0 - mean_j) / std_j
 
+    from ..data.augment import augment_batch
+
     @jax.jit
-    def train_step(params, batch_stats, opt_state, imgs, labels, mask):
+    def train_step(params, batch_stats, opt_state, imgs, labels, mask, key):
+        # on-device augmentation (reference image_train_transform:
+        # jitter/rotate/crop/flip, resnet_finetuning.ipynb cell 4)
+        if args.augment:
+            imgs = augment_batch(key, imgs.astype(jnp.float32))
+
         def loss_fn(p):
             logits, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -105,14 +112,16 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
         return confusion_matrix(labels, preds, 2, mask)
 
     best_acc, best = -1.0, None
+    aug_key = jax.random.key(args.seed)
     for epoch in range(args.n_epochs):
         t0 = time.time()
         for imgs, labels, mask in _batches(train_imgs, train_labels,
                                            args.batch_size, True,
                                            args.seed + epoch):
+            aug_key, sk = jax.random.split(aug_key)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, jnp.asarray(imgs),
-                jnp.asarray(labels), jnp.asarray(mask),
+                jnp.asarray(labels), jnp.asarray(mask), sk,
             )
         cm = np.zeros((2, 2), np.int64)
         for imgs, labels, mask in _batches(test_imgs, test_labels,
@@ -171,6 +180,8 @@ def main(argv=None):
     p.add_argument("--n-epochs", type=int, default=5)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--augment", action="store_true", default=True)
+    p.add_argument("--no-augment", dest="augment", action="store_false")
     args = p.parse_args(argv)
 
     tracker = RunTracker(root=args.runs_root, experiment="ResNet50_finetune")

@@ -202,3 +202,52 @@ def materialize_pairs(
     img = np.stack([images_a[p1], images_b[p2]], axis=1)
     kin = np.stack([kinematics_a[p1], kinematics_b[p2]], axis=1)
     return img, kin, pairs["label"].astype(np.int64)
+
+
+# ---------------------------------------------------------------- CSV interop
+_PAIR_COLUMNS = (
+    "subject_1", "gesture_label_1", "position_1", "instance_1",
+    "subject_2", "gesture_label_2", "position_2", "instance_2", "label",
+)
+
+
+def save_pairs_csv(path: str, pairs: Dict[str, np.ndarray],
+                   subjects, g_labels) -> None:
+    """Write the reference's train_pairs.csv / test_pairs_{n}.csv layout
+    (dataset_utils.py:654-665): subject/gesture columns resolved from the
+    window positions."""
+    subjects = np.asarray(subjects)
+    g = np.asarray(g_labels).reshape(-1)
+    p1, p2 = pairs["position_1"], pairs["position_2"]
+    inst1 = pairs.get("instance_1", np.zeros(len(p1), np.int32))
+    inst2 = pairs.get("instance_2", np.zeros(len(p1), np.int32))
+    with open(path, "w") as f:
+        f.write(",".join(_PAIR_COLUMNS) + "\n")
+        for k in range(len(p1)):
+            f.write(
+                f"{subjects[p1[k]]},{g[p1[k]]},{p1[k]},{inst1[k]},"
+                f"{subjects[p2[k]]},{g[p2[k]]},{p2[k]},{inst2[k]},"
+                f"{pairs['label'][k]}\n"
+            )
+
+
+def load_pairs_csv(path: str) -> Dict[str, np.ndarray]:
+    """Read reference-format pair CSVs back into the pairs dict."""
+    import csv
+
+    rows = {"position_1": [], "position_2": [], "instance_1": [],
+            "instance_2": [], "label": []}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            rows["position_1"].append(int(row["position_1"]))
+            rows["position_2"].append(int(row["position_2"]))
+            rows["instance_1"].append(int(row.get("instance_1", 0) or 0))
+            rows["instance_2"].append(int(row.get("instance_2", 0) or 0))
+            rows["label"].append(int(row["label"]))
+    return {
+        "position_1": np.asarray(rows["position_1"], np.int64),
+        "position_2": np.asarray(rows["position_2"], np.int64),
+        "instance_1": np.asarray(rows["instance_1"], np.int32),
+        "instance_2": np.asarray(rows["instance_2"], np.int32),
+        "label": np.asarray(rows["label"], np.int32),
+    }

@@ -121,3 +121,20 @@ def test_balanced_sampling_and_materialize(rng):
     assert pk.shape == (64, 2, 10, 4)
     np.testing.assert_array_equal(pi[:, 0], img[bal["position_1"]])
     np.testing.assert_array_equal(pi[:, 1], img[bal["position_2"]])
+
+
+def test_pairs_csv_roundtrip(tmp_path, rng):
+    from med_tpu.data.siamese import load_pairs_csv, save_pairs_csv
+
+    gest, err, subj = random_windows(rng, 40)
+    pairs = create_train_pairs(gest, err, subj)
+    path = str(tmp_path / "train_pairs.csv")
+    save_pairs_csv(path, pairs, subj, gest)
+    loaded = load_pairs_csv(path)
+    for k in ("position_1", "position_2", "instance_1", "instance_2", "label"):
+        np.testing.assert_array_equal(loaded[k], pairs[k])
+    # header matches the reference layout
+    header = open(path).readline().strip().split(",")
+    assert header == ["subject_1", "gesture_label_1", "position_1",
+                      "instance_1", "subject_2", "gesture_label_2",
+                      "position_2", "instance_2", "label"]
