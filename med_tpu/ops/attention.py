@@ -199,9 +199,34 @@ def sliding_window_attention_pallas(
     return out[:T]
 
 
+# Autodiff: the Pallas kernel has no reverse-mode rule, so the differentiable
+# entry point pairs the fused kernel forward with a backward derived from the
+# (mathematically identical) XLA gather implementation.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _swa_pallas_ad(q, k, v, window: int, interpret: bool):
+    return sliding_window_attention_pallas(q, k, v, window, interpret=interpret)
+
+
+def _swa_pallas_fwd(q, k, v, window, interpret):
+    return _swa_pallas_ad(q, k, v, window, interpret), (q, k, v)
+
+
+def _swa_pallas_bwd(window, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: sliding_window_attention_xla(q_, k_, v_, window),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_swa_pallas_ad.defvjp(_swa_pallas_fwd, _swa_pallas_bwd)
+
+
 def sliding_window_attention(q, k, v, window: int, use_pallas: bool = True):
-    """Dispatch to the Pallas kernel on TPU, XLA gather path elsewhere."""
+    """Dispatch to the Pallas kernel on TPU (differentiable via the custom
+    VJP above), XLA gather path elsewhere."""
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas and on_tpu:
-        return sliding_window_attention_pallas(q, k, v, window)
+        return _swa_pallas_ad(q, k, v, window, False)
     return sliding_window_attention_xla(q, k, v, window)

@@ -141,3 +141,27 @@ def test_metrics_absent_class():
     cm = np.asarray(confusion_matrix(jnp.asarray(y), jnp.asarray(p), 3))
     m = metrics_from_cm(cm, "macro")
     assert m["f1"] == pytest.approx(sk.f1_score(y, p, average="macro"))
+
+
+def test_swa_pallas_grad_matches_xla(rng):
+    """The custom-VJP Pallas path differentiates and matches the XLA
+    gradient (interpret mode on CPU)."""
+    import jax
+    from med_tpu.ops.attention import _swa_pallas_ad
+
+    T, H, M, dk, dv, W = 40, 2, 3, 4, 4, 5
+    q = jnp.asarray(rng.normal(size=(T, H, M, dk)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(T, H, dk)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(T, H, dv)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(_swa_pallas_ad(q, k, v, W, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sliding_window_attention_xla(q, k, v, W) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
