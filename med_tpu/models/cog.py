@@ -90,7 +90,7 @@ class COGEncoderLayer(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, text, visual_seq):
+    def __call__(self, text, visual_seq, train: bool = False):
         """text (T, M, d_model), visual_seq (T + window - 1, d_model) with
         explicit left-pad rows -> (T, M, d_model).
 
@@ -116,7 +116,12 @@ class COGEncoderLayer(nn.Module):
         q = jnp.pad(q, ((pad, 0), (0, 0), (0, 0), (0, 0)))
         k = k.reshape(-1, self.n_heads, self.d_q)
         v = v.reshape(-1, self.n_heads, self.d_q)
-        ctx = sliding_window_attention(q, k, v, self.window, self.use_pallas)[pad:]
+        # The fused Pallas kernel is ~14x faster than the XLA gather path for
+        # the forward, but its custom-VJP backward must recompute the XLA
+        # forward, making pure-XLA faster when differentiating — so: Pallas
+        # at eval, XLA in training (measured on v5e, see CLAUDE.md).
+        use_pallas = self.use_pallas and not train
+        ctx = sliding_window_attention(q, k, v, self.window, use_pallas)[pad:]
         ctx = ctx.transpose(0, 2, 1, 3).reshape(T, M, self.n_heads * self.d_q)
         out = layer_norm(ctx + q_in)  # unlearned LN inside COG attention
 
@@ -137,7 +142,7 @@ class ChainOfGestureTransformer(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, gest_embed, long_feature):
+    def __call__(self, gest_embed, long_feature, train: bool = False):
         """gest_embed (M, gest_dim), long_feature (T, f_dim) -> (T, M*d_model)."""
         visual = nn.Dense(self.d_model, use_bias=False,
                           kernel_init=torch_default_kernel, name="linear1")(long_feature)
@@ -155,7 +160,7 @@ class ChainOfGestureTransformer(nn.Module):
             text = COGEncoderLayer(
                 self.d_model, self.f_dim, self.d_q, self.n_heads,
                 self.len_q, self.use_pallas, name=f"layer{i}",
-            )(text, visual)
+            )(text, visual, train)
 
         # final single-head attention: text' attends the original text tokens
         text_kv = jnp.broadcast_to(text0[None], (T, M, self.d_model))
@@ -257,7 +262,7 @@ class COG(nn.Module):
         xx = ChainOfGestureTransformer(
             self.f_dim, self.gest_dim, self.d_model, self.d_q, self.len_q,
             use_pallas=self.use_pallas, name="cot",
-        )(gest, x[0])  # (T, M*d_model)
+        )(gest, x[0], train)  # (T, M*d_model)
 
         if self.srm:
             from .prompts import SKILL_STATEMENTS
@@ -276,7 +281,7 @@ class COG(nn.Module):
             skill_xx = ChainOfGestureTransformer(
                 self.f_dim, self.gest_dim, self.d_model, self.d_q, self.len_q,
                 use_pallas=self.use_pallas, name="cot_skill",
-            )(skill, x[0])
+            )(skill, x[0], train)
             xx = jnp.concatenate([xx, skill_xx], axis=-1)
 
         xx = xx[None]  # (1, T, M*d_model [+ S*d_model])
