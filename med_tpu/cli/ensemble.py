@@ -37,11 +37,24 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     folds = [f for f in args.folds.split(",") if f]
+    dumps_a = {o: _load_fold_dump(args.runs_root, args.run_a, args.setting, o)
+               for o in folds}
+    dumps_b = {o: _load_fold_dump(args.runs_root, args.run_b, args.setting, o)
+               for o in folds}
+    from ..eval.results import check_run_alignment, prediction_overlap
+
+    if args.mode == "soft_vote":
+        check_run_alignment(dumps_a, dumps_b)
+        ov = prediction_overlap(dumps_a, dumps_b)
+        print(f"overlap: both={ov['both_correct']:.3f} "
+              f"one={ov['exactly_one_correct']:.3f} "
+              f"neither={ov['both_wrong']:.3f}")
+
     f1s, accs, jacs, weights = [], [], [], []
     mc_f1s, mc_accs, mc_jacs = [], [], []
     for out in folds:
-        da = _load_fold_dump(args.runs_root, args.run_a, args.setting, out)
-        db = _load_fold_dump(args.runs_root, args.run_b, args.setting, out)
+        da = dumps_a[out]
+        db = dumps_b[out]
         labels_a = np.asarray(da["labels"])
         if args.mode == "soft_vote":
             preds, _ = soft_vote(np.asarray(da["probs"]), np.asarray(db["probs"]))

@@ -111,3 +111,72 @@ def model_comparison_table(
             row[name] = f"{mu:.3f} ± {sd:.3f}"
         table[label] = row
     return table
+
+
+def check_run_alignment(dumps_a: Dict[str, dict], dumps_b: Dict[str, dict]) -> None:
+    """Validate that two runs' prediction dumps are positionally aligned
+    before fusing them (reference ensemble.ipynb cells 4-5: subjects,
+    gestures and labels must match between the video and kinematics runs).
+    Raises ValueError on mismatch."""
+    for fold in dumps_a:
+        if fold not in dumps_b:
+            raise ValueError(f"fold {fold} missing from second run")
+        a, b = dumps_a[fold], dumps_b[fold]
+        for key in ("subjects", "gestures", "labels"):
+            va, vb = a.get(key), b.get(key)
+            if va is None or vb is None:
+                continue
+            if len(va) != len(vb) or list(map(str, va)) != list(map(str, vb)):
+                raise ValueError(
+                    f"fold {fold}: {key} differ between runs — the dumps are "
+                    f"not positionally aligned"
+                )
+
+
+def prediction_overlap(dumps_a: Dict[str, dict], dumps_b: Dict[str, dict]) -> dict:
+    """Error-overlap analysis between two binary runs (ensemble.ipynb
+    overlap cells): fractions of windows both get right, only one gets
+    right, and both miss."""
+    both_right = one_right = both_wrong = total = 0
+    for fold in dumps_a:
+        y = np.asarray(dumps_a[fold]["labels"]).astype(int)
+        pa = np.asarray(dumps_a[fold]["preds"]).astype(int)
+        pb = np.asarray(dumps_b[fold]["preds"]).astype(int)
+        ra, rb = pa == y, pb == y
+        both_right += int((ra & rb).sum())
+        one_right += int((ra ^ rb).sum())
+        both_wrong += int((~ra & ~rb).sum())
+        total += len(y)
+    return {
+        "both_correct": both_right / total,
+        "exactly_one_correct": one_right / total,
+        "both_wrong": both_wrong / total,
+        "n": total,
+    }
+
+
+def probability_histograms(dumps: Dict[str, dict], image_path: str,
+                           bins: int = 20) -> str:
+    """Positive-class probability distributions split by true label
+    (ensemble.ipynb probability-distribution plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    probs = np.concatenate([np.asarray(d["probs"], dtype=float).reshape(-1)
+                            for d in dumps.values()])
+    labels = np.concatenate([np.asarray(d["labels"]).astype(int).reshape(-1)
+                             for d in dumps.values()])
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.hist(probs[labels == 0], bins=bins, alpha=0.6, label="No Error",
+            density=True)
+    ax.hist(probs[labels == 1], bins=bins, alpha=0.6, label="Error",
+            density=True)
+    ax.set_xlabel("P(error)")
+    ax.set_ylabel("density")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(image_path)
+    plt.close(fig)
+    return image_path

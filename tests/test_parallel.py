@@ -146,3 +146,32 @@ def test_results_analysis(rng):
 
     t, p = paired_t_test([0.7, 0.8, 0.75], [0.6, 0.65, 0.7])
     assert p < 0.2
+
+
+def test_run_alignment_and_overlap(rng):
+    from med_tpu.eval.results import (
+        check_run_alignment,
+        prediction_overlap,
+        probability_histograms,
+    )
+    import pytest as _pytest
+
+    y = rng.integers(0, 2, 50)
+    d_a = {"1Out": {"labels": y.tolist(), "preds": y.tolist(),
+                    "probs": rng.random(50).tolist(),
+                    "subjects": ["s"] * 50, "gestures": [1] * 50}}
+    d_b = {"1Out": {"labels": y.tolist(),
+                    "preds": (1 - y).tolist(),
+                    "probs": rng.random(50).tolist(),
+                    "subjects": ["s"] * 50, "gestures": [1] * 50}}
+    check_run_alignment(d_a, d_b)
+    ov = prediction_overlap(d_a, d_b)
+    assert ov["both_correct"] == 0.0 and ov["exactly_one_correct"] == 1.0
+
+    bad = {"1Out": dict(d_b["1Out"], labels=(1 - y).tolist())}
+    with _pytest.raises(ValueError):
+        check_run_alignment(d_a, bad)
+
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "hist.png")
+    assert os.path.exists(probability_histograms(d_a, path))
