@@ -140,6 +140,7 @@ class ExperimentConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # data-parallel mesh, None = all devices
     use_pallas: bool = True           # Pallas kernels for hot ops (XLA fallback off-TPU)
     prefetch_depth: int = 2           # host->device double buffering
+    fused_epoch: bool = True          # window families: whole epoch as one lax.scan
     max_frames: int = 4096            # frame-model padding bucket ceiling
 
     # ------------------------------------------------------------------

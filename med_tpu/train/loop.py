@@ -113,6 +113,13 @@ def train_window_fold(
         class_counts=_class_counts(cfg, train_fold),
     )
 
+    fused = None
+    if cfg.fused_epoch and exp.family == "window" and not cfg.siamese:
+        from .fused import FusedWindowEpoch
+
+        fused = FusedWindowEpoch(exp, cfg, train_fold,
+                                 extras=extras.get("train"))
+
     best: Optional[Dict] = None
     best_ckpt = None
     history = []
@@ -127,21 +134,28 @@ def train_window_fold(
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
 
         t0 = time.time()
-        cms, losses = [], []
-        train_iter = (
-            _siamese_batches(cfg, siamese_data["train"], shuffle=True, epoch=epoch)
-            if cfg.siamese
-            else window_batches(train_fold, cfg, shuffle=True, epoch=epoch,
-                                extras=extras.get("train"))
-        )
-        from ..utils.prefetch import prefetch_to_device
+        if fused is not None:
+            state, cms_stacked, losses_arr = fused.run_epoch(state, epoch)
+            jax.block_until_ready(losses_arr)
+            cms = list(np.asarray(cms_stacked))
+            losses = list(np.asarray(losses_arr))
+        else:
+            cms, losses = [], []
+            train_iter = (
+                _siamese_batches(cfg, siamese_data["train"], shuffle=True,
+                                 epoch=epoch)
+                if cfg.siamese
+                else window_batches(train_fold, cfg, shuffle=True, epoch=epoch,
+                                    extras=extras.get("train"))
+            )
+            from ..utils.prefetch import prefetch_to_device
 
-        for batch in prefetch_to_device(
-            (_device_batch(b) for b in train_iter), depth=cfg.prefetch_depth
-        ):
-            state, metrics = exp.train_step(state, batch)
-            cms.append(metrics["cm"])
-            losses.append(metrics["loss"])
+            for batch in prefetch_to_device(
+                (_device_batch(b) for b in train_iter), depth=cfg.prefetch_depth
+            ):
+                state, metrics = exp.train_step(state, batch)
+                cms.append(metrics["cm"])
+                losses.append(metrics["loss"])
         train_time = time.time() - t0
         train_cms = [np.asarray(c) for c in cms]
         train_m = _epoch_metrics(train_cms, average, per_batch=True)
