@@ -52,9 +52,11 @@ class FusedWindowEpoch:
 
     def _build(self):
         step = self.exp._make_step(train=True)
-        arrays = self.arrays
 
-        def epoch(state: TrainState, idx, mask):
+        # the fold arrays are jit ARGUMENTS, not closure constants — closing
+        # over them would embed the whole fold in the compiled program (and
+        # blow up the remote-compile request)
+        def epoch(state: TrainState, arrays, idx, mask):
             def body(carry, xs):
                 sel, m = xs
                 batch = {k: v[sel] for k, v in arrays.items()}
@@ -83,4 +85,5 @@ class FusedWindowEpoch:
     def run_epoch(self, state: TrainState, epoch: int):
         """Returns (state, per-batch CMs (S, C, C), per-batch losses (S,))."""
         sel, mask = self.schedule(epoch)
-        return self._epoch_fn(state, jnp.asarray(sel), jnp.asarray(mask))
+        return self._epoch_fn(state, self.arrays, jnp.asarray(sel),
+                              jnp.asarray(mask))
