@@ -103,6 +103,32 @@ def main():
 
     t_train = _timed_loop(make_train_run, exp.init_state(jax.random.key(7), batch))
 
+    # ---- fused window epoch (the production training path) ----
+    from med_tpu.data.datasets import WindowFold
+    from med_tpu.train.fused import FusedWindowEpoch
+
+    Nf = 5120
+    powerset = np.zeros((Nf, 7), np.int32)
+    powerset[: Nf // 2, 6] = 1
+    powerset[Nf // 2 :, 0] = 1
+    fold = WindowFold(
+        images=rng.normal(size=(Nf, W, 2048)).astype(np.float32),
+        kinematics=rng.normal(size=(Nf, W, 26)).astype(np.float32),
+        g_labels=np.ones((Nf, 1), np.int64),
+        e_powerset=powerset,
+        subjects=np.asarray(["s"] * Nf, object),
+    )
+    fused = FusedWindowEpoch(exp, cfg, fold)
+    fstate = exp.init_state(jax.random.key(9), batch)
+    fstate, _, fl = fused.run_epoch(fstate, 0)
+    jax.block_until_ready(fl)
+    t0 = time.perf_counter()
+    fstate, _, fl = fused.run_epoch(fstate, 1)
+    jax.block_until_ready(fl)
+    t_epoch = time.perf_counter() - t0
+    n_steps = -(-Nf // B)
+    fused_windows_per_sec = Nf / t_epoch
+
     # ---- COG frame inference (multimodal, T=1024) ----
     cfg_cog = ExperimentConfig(
         model_name="COG", dataset_type="frame", data_type="multimodal",
@@ -190,6 +216,9 @@ def main():
             "ms_per_window": round(ms_per_window, 6),
             "ref_ms_per_window": 1.04,
             "window_train_step_ms": round(t_train * 1e3, 3),
+            "fused_epoch_ms": round(t_epoch * 1e3, 3),
+            "fused_epoch_steps": n_steps,
+            "fused_train_windows_per_sec": round(fused_windows_per_sec, 1),
             "cog_frames_per_sec": round(cog_frames_per_sec, 1),
             "cog_vs_baseline": round(cog_frames_per_sec / ref_cog_frames_per_sec, 2),
             "cog_ms_per_frame": round(t_cog / T * 1e3, 6),

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
+
 from ..config import ExperimentConfig
 from .feature_extractor import FeatureExtractor  # noqa: F401
 from .window_models import (  # noqa: F401
@@ -22,6 +24,7 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
     """Construct the configured model (flax module, uninitialized)."""
     name = cfg.model_name
     in_features = cfg.in_features()
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     if name == "SimpleCNN":
         return WindowCNN(
             in_features=in_features,
@@ -48,6 +51,7 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
             in_dim=in_features,
             out_classes=cfg.out_features,
             causal=cfg.mstcn_causal_conv,
+            dtype=dtype,
         )
     if name == "TransSVNet":
         return TransSVNet(
@@ -73,6 +77,7 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
             use_all_gestures=cfg.use_all_gestures,
             use_skill_prompt=cfg.use_skill_prompt,
             srm=cfg.SRM,
+            dtype=dtype,
         )
     raise ValueError(f"model {name!r} is not supported")
 

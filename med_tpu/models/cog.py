@@ -179,19 +179,26 @@ class COGStage(nn.Module):
     causal: bool = True
     channel_dropout: bool = False
     use_input_conv: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = Conv1d(self.f_maps, 1, name="conv_in")(x) if self.use_input_conv else x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        out = Conv1d(self.f_maps, 1, dtype=self.dtype,
+                     name="conv_in")(x) if self.use_input_conv else x
         if self.channel_dropout:
             # torch Dropout2d on (B, C, T, 1): zeroes whole channels
             out = nn.Dropout(0.5, broadcast_dims=(1,), deterministic=not train)(out)
         for i in range(self.num_layers):
             out = DilatedResidualLayer(
-                self.f_maps, 2**i, causal=self.causal, name=f"layer{i}"
+                self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
+                name=f"layer{i}"
             )(out, train)
-        logits = Conv1d(self.out_classes, 1, name="conv_out")(out)
-        return out, logits
+        logits = Conv1d(self.out_classes, 1, dtype=self.dtype,
+                        name="conv_out")(out)
+        # fp32 logits for losses / softmax refinement
+        return out, logits.astype(jnp.float32)
 
 
 class COG(nn.Module):
@@ -224,6 +231,7 @@ class COG(nn.Module):
     use_all_gestures: bool = True
     use_skill_prompt: bool = False
     srm: bool = False
+    dtype: object = None      # bfloat16 compute for the TCN/FPN paths
 
     def _prompt_texts(self):
         from .prompts import GESTURES_OBSERVED, SKILL_LEVEL_PROMPTS
@@ -287,39 +295,41 @@ class COG(nn.Module):
         # --- slow path ---
         f, _ = COGStage(
             self.num_layers_basic, self.f_maps, self.out_classes,
-            self.causal, channel_dropout=True, name="TCN",
+            self.causal, channel_dropout=True, dtype=self.dtype, name="TCN",
         )(xx, train)
         f_list = [f]
         for r in range(self.num_r):
             f, _ = COGStage(
                 self.num_layers_r, self.f_maps, self.out_classes,
-                self.causal, use_input_conv=False, name=f"R{r}",
+                self.causal, use_input_conv=False, dtype=self.dtype,
+                name=f"R{r}",
             )(f, train)
             f_list.append(f)
 
         # FPN upsample-add with a single shared lateral conv
-        lat = Conv1d(self.f_maps, 1, name="latlayer1")
+        lat = Conv1d(self.f_maps, 1, dtype=self.dtype, name="latlayer1")
         p = f_list[-1]
         pyramid = [p]
         for c in reversed(f_list[:-1]):
             p = interp1d_linear(p, c.shape[1], axis=1) + lat(c)
             pyramid.insert(0, p)
 
-        conv_out = Conv1d(self.out_classes, 1, name="conv_out")
-        out_list = [conv_out(p) for p in pyramid]
+        conv_out = Conv1d(self.out_classes, 1, dtype=self.dtype, name="conv_out")
+        out_list = [conv_out(p).astype(jnp.float32) for p in pyramid]
 
         # --- fast path ---
         fast = nn.avg_pool(xx, (self.fast_pool,), strides=(self.fast_pool,))
         fast_f, fast_out = COGStage(
             self.num_layers_basic, self.f_maps, self.out_classes,
-            self.causal, channel_dropout=True, name="fast_stage1",
+            self.causal, channel_dropout=True, dtype=self.dtype,
+            name="fast_stage1",
         )(fast, train)
         f_list.append(fast_f)
         out_list.append(fast_out)
         for r in range(self.num_r):
             fast_f, fast_out = COGStage(
                 self.num_layers_r, self.f_maps, self.out_classes,
-                self.causal, name=f"fast_R{r}",
+                self.causal, dtype=self.dtype, name=f"fast_R{r}",
             )(nn.softmax(fast_out, axis=-1), train)
             f_list.append(fast_f)
             out_list.append(fast_out)

@@ -78,6 +78,7 @@ class Conv1d(nn.Module):
     padding: object = "VALID"  # 'VALID' | 'SAME' | [(left, right)]
     use_bias: bool = True
     kernel_init: object = None
+    dtype: object = None       # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
@@ -90,6 +91,7 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init or torch_default_kernel,
             bias_init=torch_default_bias(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -105,6 +107,7 @@ class DilatedResidualLayer(nn.Module):
     dilation: int
     causal: bool = True
     dropout_rate: float = 0.5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -114,10 +117,11 @@ class DilatedResidualLayer(nn.Module):
             else [(self.dilation, self.dilation)]
         )
         out = Conv1d(
-            self.channels, 3, dilation=self.dilation, padding=pad, name="conv_dilated"
+            self.channels, 3, dilation=self.dilation, padding=pad,
+            dtype=self.dtype, name="conv_dilated"
         )(x)
         out = nn.relu(out)
-        out = Conv1d(self.channels, 1, name="conv_1x1")(out)
+        out = Conv1d(self.channels, 1, dtype=self.dtype, name="conv_1x1")(out)
         out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
         return x + out
 
@@ -134,13 +138,18 @@ class SingleStageTCN(nn.Module):
     f_maps: int
     out_classes: int
     causal: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        out = Conv1d(self.f_maps, 1, name="conv_in")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        out = Conv1d(self.f_maps, 1, dtype=self.dtype, name="conv_in")(x)
         for i in range(self.num_layers):
             out = DilatedResidualLayer(
-                self.f_maps, 2**i, causal=self.causal, name=f"layer{i}"
+                self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
+                name=f"layer{i}"
             )(out, train)
-        logits = Conv1d(self.out_classes, 1, name="conv_out")(out)
-        return out, logits
+        logits = Conv1d(self.out_classes, 1, dtype=self.dtype, name="conv_out")(out)
+        # logits in fp32 for stable losses/softmax refinement
+        return out, logits.astype(jnp.float32)

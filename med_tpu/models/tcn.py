@@ -22,12 +22,14 @@ class TeCNo(nn.Module):
     in_dim: int = 2048
     out_classes: int = 2
     causal: bool = True
+    dtype: object = None      # bfloat16 compute (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T, in_dim) -> (num_stages, B, T, out_classes)."""
         _, logits = SingleStageTCN(
-            self.num_layers, self.f_maps, self.out_classes, self.causal, name="stage0"
+            self.num_layers, self.f_maps, self.out_classes, self.causal,
+            dtype=self.dtype, name="stage0"
         )(x, train)
         outputs = [logits]
         for s in range(1, self.num_stages):
@@ -36,6 +38,7 @@ class TeCNo(nn.Module):
                 self.f_maps,
                 self.out_classes,
                 self.causal,
+                dtype=self.dtype,
                 name=f"stage{s}",
             )(nn.softmax(logits, axis=-1), train)
             outputs.append(logits)

@@ -190,3 +190,37 @@ def test_cog_variants(rng):
     m = build_model(cfg)
     v = m.init(rngs, x, train=False)
     assert v["constants"]["gest_embed"].shape == (8, 512)
+
+
+def test_bf16_compute_dtype(rng):
+    """compute_dtype='bfloat16' runs the TCN paths in bf16 with fp32 params
+    and fp32 logits, staying close to the fp32 forward."""
+    base = dict(
+        model_name="COG", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, use_pallas=False,
+        num_layers_Basic=3, num_layers_R=2, num_R=1, mstcn_stages=3,
+        d_model=16, d_q=2, sequence_length=6,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 26)),
+                    jnp.float32)
+    m32 = build_model(ExperimentConfig(**base))
+    v = m32.init({"params": jax.random.key(0)}, x, train=False)
+    out32, _ = m32.apply(v, x, train=False)
+
+    m16 = build_model(ExperimentConfig(**base, compute_dtype="bfloat16"))
+    out16, _ = m16.apply(v, x, train=False)  # same fp32 params
+    assert out16[0].dtype == jnp.float32  # logits back in fp32
+    # bf16 has ~3 decimal digits; logits stay close
+    err = float(jnp.abs(out16[0] - out32[0]).max())
+    scale = float(jnp.abs(out32[0]).max()) + 1e-6
+    assert err / scale < 0.1, (err, scale)
+
+    # TeCNo too
+    cfgT = ExperimentConfig(model_name="TeCNo", dataset_type="frame",
+                            data_type="kinematics", out_features=2,
+                            batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+                            compute_dtype="bfloat16")
+    mT = build_model(cfgT)
+    vT = mT.init({"params": jax.random.key(1)}, x, train=False)
+    outT = mT.apply(vT, x, train=False)
+    assert outT.dtype == jnp.float32
