@@ -155,7 +155,7 @@ class Experiment:
             return (batch["tecno_logits"], x)
         return (x,)
 
-    def _assemble(self, params, batch, train, rng):
+    def _assemble(self, params, batch, train=False, rng=None):
         """define_inputs (modeling_utils.py:19-134) in channel-last layout."""
         cfg = self.cfg
         if cfg.data_type == "kinematics":

@@ -87,3 +87,66 @@ class FusedWindowEpoch:
         sel, mask = self.schedule(epoch)
         return self._epoch_fn(state, self.arrays, jnp.asarray(sel),
                               jnp.asarray(mask))
+
+
+class FusedWindowEval:
+    """Whole eval pass as one program: scan over ordered batches returning
+    stacked (preds, probs, CMs, losses); the host concatenates and trims the
+    padding tail. Identical numbers to the per-batch eval loop."""
+
+    def __init__(
+        self,
+        exp: Experiment,
+        cfg: ExperimentConfig,
+        fold: WindowFold,
+        extras: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        if exp.family != "window":
+            raise ValueError("fused eval supports the plain window family")
+        self.cfg = cfg
+        self.exp = exp
+        labels = fold.labels_for(cfg.error_type)
+        self.n = len(fold)
+        self.arrays = {
+            "images": jnp.asarray(fold.images),
+            "kinematics": jnp.asarray(fold.kinematics),
+            "labels": jnp.asarray(labels),
+        }
+        for k, v in (extras or {}).items():
+            self.arrays[k] = jnp.asarray(v)
+        B = cfg.batch_size
+        steps = -(-self.n // B)
+        pad = steps * B - self.n
+        sel = np.concatenate([np.arange(self.n), np.zeros(pad, np.int64)])
+        mask = np.concatenate(
+            [np.ones(self.n, np.float32), np.zeros(pad, np.float32)]
+        )
+        self._sel = jnp.asarray(sel.reshape(steps, B))
+        self._mask = jnp.asarray(mask.reshape(steps, B))
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        step = self.exp._make_step(train=False)
+
+        def run(state: TrainState, arrays, idx, mask):
+            def body(carry, xs):
+                sel, m = xs
+                batch = {k: v[sel] for k, v in arrays.items()}
+                batch["mask"] = m
+                metrics = step(carry, batch)
+                return carry, (metrics["preds"], metrics["probs"],
+                               metrics["cm"], metrics["loss"])
+
+            _, outs = jax.lax.scan(body, state, (idx, mask))
+            return outs
+
+        return run
+
+    def run(self, state: TrainState):
+        preds, probs, cms, losses = self._fn(state, self.arrays, self._sel,
+                                             self._mask)
+        preds = np.asarray(preds).reshape(-1)[: self.n]
+        probs = np.asarray(probs).reshape(
+            (self._sel.size,) + tuple(probs.shape[2:])
+        )[: self.n]
+        return preds, probs, np.asarray(cms), np.asarray(losses)

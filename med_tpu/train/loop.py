@@ -103,7 +103,8 @@ def train_window_fold(
 
     extras = extras or {}
     if cfg.siamese:
-        batches0 = list(_siamese_batches(cfg, siamese_data["train"], shuffle=False))
+        batches0 = [next(_siamese_batches(cfg, siamese_data["train"],
+                                          shuffle=False))]
     else:
         batches0 = [next(window_batches(train_fold, cfg, shuffle=False,
                                         extras=extras.get("train")))]
@@ -114,11 +115,14 @@ def train_window_fold(
     )
 
     fused = None
+    fused_eval = None
     if cfg.fused_epoch and exp.family == "window" and not cfg.siamese:
-        from .fused import FusedWindowEpoch
+        from .fused import FusedWindowEpoch, FusedWindowEval
 
         fused = FusedWindowEpoch(exp, cfg, train_fold,
                                  extras=extras.get("train"))
+        fused_eval = FusedWindowEval(exp, cfg, test_fold,
+                                     extras=extras.get("test"))
 
     best: Optional[Dict] = None
     best_ckpt = None
@@ -167,7 +171,8 @@ def train_window_fold(
             break
 
         ev = evaluate_window_fold(cfg, exp, state, test_fold, siamese_data,
-                                  extras=extras.get("test"))
+                                  extras=extras.get("test"),
+                                  fused_eval=fused_eval)
         epoch_row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -210,29 +215,37 @@ def train_window_fold(
 
 
 def evaluate_window_fold(cfg, exp, state, test_fold, siamese_data=None,
-                         extras=None) -> Dict:
+                         extras=None, fused_eval=None) -> Dict:
     """Pooled eval pass; returns metrics + ordered prediction dumps."""
     average = _average_for(cfg)
-    preds, probs, cms, losses = [], [], [], []
-    n_eval = 0
-    t_infer, n_units = 0.0, 0
-    test_iter = (
-        _siamese_batches(cfg, siamese_data["test"], shuffle=False)
-        if cfg.siamese
-        else window_batches(test_fold, cfg, shuffle=False, extras=extras)
-    )
-    for batch in test_iter:
-        valid = batch["_valid"]
+    if fused_eval is not None:
         t0 = time.time()
-        m = exp.eval_step(state, _device_batch(batch))
-        jax.block_until_ready(m["preds"])
-        t_infer += time.time() - t0
-        n_units += valid
-        preds.append(np.asarray(m["preds"])[:valid])
-        probs.append(np.asarray(m["probs"])[:valid])
-        cms.append(np.asarray(m["cm"]))
-        losses.append(float(m["loss"]))
-        n_eval += valid
+        preds_arr, probs_arr, cms_arr, losses_arr = fused_eval.run(state)
+        t_infer = time.time() - t0
+        n_units = fused_eval.n
+        preds = [preds_arr]
+        probs = [probs_arr]
+        cms = list(cms_arr)
+        losses = [float(l) for l in losses_arr]
+    else:
+        preds, probs, cms, losses = [], [], [], []
+        t_infer, n_units = 0.0, 0
+        test_iter = (
+            _siamese_batches(cfg, siamese_data["test"], shuffle=False)
+            if cfg.siamese
+            else window_batches(test_fold, cfg, shuffle=False, extras=extras)
+        )
+        for batch in test_iter:
+            valid = batch["_valid"]
+            t0 = time.time()
+            m = exp.eval_step(state, _device_batch(batch))
+            jax.block_until_ready(m["preds"])
+            t_infer += time.time() - t0
+            n_units += valid
+            preds.append(np.asarray(m["preds"])[:valid])
+            probs.append(np.asarray(m["probs"])[:valid])
+            cms.append(np.asarray(m["cm"]))
+            losses.append(float(m["loss"]))
     pooled = _epoch_metrics(cms, average, per_batch=False)
     metrics = {
         "loss": float(np.mean(losses)),
