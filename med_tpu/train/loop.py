@@ -147,9 +147,10 @@ def train_window_fold(
             cms, losses = [], []
             train_iter = (
                 _siamese_batches(cfg, siamese_data["train"], shuffle=True,
-                                 epoch=epoch)
+                                 epoch=epoch, seed=cfg.seed)
                 if cfg.siamese
-                else window_batches(train_fold, cfg, shuffle=True, epoch=epoch,
+                else window_batches(train_fold, cfg, shuffle=True,
+                                    seed=cfg.seed, epoch=epoch,
                                     extras=extras.get("train"))
             )
             from ..utils.prefetch import prefetch_to_device

@@ -47,3 +47,18 @@ def test_fused_epoch_sequential_with_gate(tmp_path, rng):
     assert res_fused["history"][0]["train_loss"] == pytest.approx(
         res_plain["history"][0]["train_loss"], abs=1e-5
     )
+
+
+def test_fused_epoch_matches_per_batch_custom_seed(tmp_path, rng):
+    """Fused/per-batch parity must hold for non-default seeds too (the
+    shuffle stream comes from cfg.seed in both paths)."""
+    fold_dir = make_synth_fold(tmp_path, rng)
+    base = ExperimentConfig(model_name="SimpleCNN", batch_size=32, n_epochs=2,
+                            lr=1e-3, seed=7)
+    train_fold, test_fold = build_window_fold(fold_dir, base)
+    res_fused = train_window_fold(base.replace(fused_epoch=True),
+                                  train_fold, test_fold)
+    res_plain = train_window_fold(base.replace(fused_epoch=False),
+                                  train_fold, test_fold)
+    for a, b in zip(res_fused["history"], res_plain["history"]):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
