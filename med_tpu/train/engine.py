@@ -104,13 +104,13 @@ class Experiment:
         frozen: Any = None,
         class_counts: Optional[np.ndarray] = None,
     ) -> TrainState:
-        rng, pk, dk = jax.random.split(rng, 3)
+        rng, pk_fe, pk, dk = jax.random.split(rng, 4)
         params: Dict[str, Any] = {}
         batch_stats: Dict[str, Any] = {}
         constants: Dict[str, Any] = {}
 
         if self.fe is not None:
-            fv = self.fe.init({"params": pk}, self._images(sample_batch))
+            fv = self.fe.init({"params": pk_fe}, self._images(sample_batch))
             params["fe"] = fv["params"]
         model_inputs = self._model_inputs(params, sample_batch)
         mv = self.model.init(
