@@ -62,3 +62,20 @@ def test_fused_epoch_matches_per_batch_custom_seed(tmp_path, rng):
                                   train_fold, test_fold)
     for a, b in zip(res_fused["history"], res_plain["history"]):
         assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
+
+
+def test_fused_epoch_es_six_class(tmp_path, rng):
+    """Fused path parity for the 6-class ES regime (multi-class probs)."""
+    fold_dir = make_synth_fold(tmp_path, rng)
+    cfg = ExperimentConfig(model_name="SimpleLSTM", batch_size=32, n_epochs=1,
+                           error_type="all_errors", out_features=6,
+                           delete_ND=True)
+    train_fold, test_fold = build_window_fold(fold_dir, cfg)
+    res_fused = train_window_fold(cfg.replace(fused_epoch=True),
+                                  train_fold, test_fold)
+    res_plain = train_window_fold(cfg.replace(fused_epoch=False),
+                                  train_fold, test_fold)
+    a, b = res_fused["history"][0], res_plain["history"][0]
+    assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
+    assert a["test_f1"] == pytest.approx(b["test_f1"], abs=1e-6)
+    assert res_fused["best"]["probs"].shape[-1] == 6
