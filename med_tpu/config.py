@@ -141,6 +141,10 @@ class ExperimentConfig:
     use_pallas: bool = True           # Pallas kernels for hot ops (XLA fallback off-TPU)
     prefetch_depth: int = 2           # host->device double buffering
     fused_epoch: bool = True          # window families: whole epoch as one lax.scan
+    trial_batch: int = 1              # frame families: trials per step (vmapped);
+                                      # >1 averages gradients across trials — a
+                                      # TPU scaling option the reference's
+                                      # batch_size=1 regime does not have
     max_frames: int = 4096            # frame-model padding bucket ceiling
 
     # ------------------------------------------------------------------

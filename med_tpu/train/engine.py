@@ -203,16 +203,67 @@ class Experiment:
             loss, metrics = _loss_for_family(cfg, family, out, batch, constants)
             return loss, (metrics, new_stats)
 
+        # Trial-parallel frame training: vmap the per-trial loss over a
+        # leading trial axis and average the gradients. Frame models carry no
+        # batch stats, so the vmap is exact per-trial compute; the averaged
+        # gradient is a *larger-batch* regime than the reference's
+        # batch_size=1 (documented deviation, off by default).
+        trial_parallel = (
+            family in ("tecno", "tsvn", "cog") and cfg.trial_batch > 1
+        )
+
+        def batched_loss(params, batch_stats, constants, frozen, batch, rngs,
+                         train_flag):
+            def per_trial(b, r):
+                return loss_and_metrics(
+                    params, batch_stats, constants, frozen, b, r, train_flag
+                )
+
+            losses_v, (metrics_v, _) = jax.vmap(
+                per_trial, in_axes=(0, 0)
+            )(batch, rngs)
+            w = batch.get("trial_weight")
+            if w is None:
+                loss = jnp.mean(losses_v)
+            else:
+                # padded group slots carry weight 0
+                loss = jnp.sum(losses_v * w) / jnp.maximum(jnp.sum(w), 1e-12)
+            metrics = dict(metrics_v)
+            for key in list(metrics):
+                if key.startswith("cm"):
+                    wcm = (w if w is not None else jnp.ones(losses_v.shape[0]))
+                    metrics[key] = jnp.sum(
+                        metrics[key] * wcm[:, None, None].astype(jnp.int32),
+                        axis=0,
+                    )
+            return loss, (metrics, batch_stats)
+
         if train:
 
             def step(state: TrainState, batch):
                 rng, drop = jax.random.split(state.rng)
 
-                def lf(params):
-                    return loss_and_metrics(
-                        params, state.batch_stats, state.constants,
-                        state.frozen, batch, drop, True,
-                    )
+                if trial_parallel:
+                    weight = batch.get("trial_weight")
+                    data = {k: v for k, v in batch.items()
+                            if k != "trial_weight"}
+                    drops = jax.random.split(drop, cfg.trial_batch)
+
+                    def lf(params):
+                        return batched_loss(
+                            params, state.batch_stats, state.constants,
+                            state.frozen,
+                            {**data, "trial_weight": weight}
+                            if weight is not None else data,
+                            drops, True,
+                        )
+                else:
+
+                    def lf(params):
+                        return loss_and_metrics(
+                            params, state.batch_stats, state.constants,
+                            state.frozen, batch, drop, True,
+                        )
 
                 (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                     lf, has_aux=True
@@ -234,10 +285,17 @@ class Experiment:
             return step
 
         def estep(state: TrainState, batch):
-            loss, (metrics, _) = loss_and_metrics(
-                state.params, state.batch_stats, state.constants,
-                state.frozen, batch, state.rng, False,
-            )
+            if trial_parallel:
+                rngs = jax.random.split(state.rng, cfg.trial_batch)
+                loss, (metrics, _) = batched_loss(
+                    state.params, state.batch_stats, state.constants,
+                    state.frozen, batch, rngs, False,
+                )
+            else:
+                loss, (metrics, _) = loss_and_metrics(
+                    state.params, state.batch_stats, state.constants,
+                    state.frozen, batch, state.rng, False,
+                )
             metrics["loss"] = loss
             return metrics
 

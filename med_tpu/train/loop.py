@@ -353,24 +353,57 @@ def train_frame_fold(
     exp = exp or Experiment(cfg)
     average = "binary" if cfg.error_type == "global" else "macro"
 
+    # trial-parallel: pad every trial of the fold to one common bucket so
+    # groups of cfg.trial_batch trials stack into fixed-shape batches
+    G = cfg.trial_batch
+    common_bucket = None
+    if G > 1:
+        from ..data.datasets import bucket_length
+
+        max_t = max(t.n_frames for t in train_trials + test_trials)
+        common_bucket = bucket_length(max_t, cap=cfg.max_frames)
+
     def make_batch(trial, split):
         gate = None
         if gates is not None:
             gate = gates[split].get(trial.name)
             if gate is None and cfg.error_type == "sequential":
                 gate = (trial.labels_for("sequential") != 0).astype(np.float32)
-        b = frame_batch(trial, cfg, gate=gate)
+        b = frame_batch(trial, cfg, bucket=common_bucket or 256, gate=gate)
         if exp.family == "tsvn":
             b["tecno_logits"] = np.zeros(
                 (1, b["labels"].shape[0], cfg.out_features), np.float32
             )
         return b
 
-    state = exp.init_state(
-        jax.random.key(cfg.seed),
-        _device_batch(make_batch(train_trials[0], "train")),
-        frozen=frozen,
-    )
+    def make_group(trials_subset, split):
+        """Stack <=G trial batches; short groups pad with zero-weight
+        repeats of the first trial."""
+        batches = [make_batch(t, split) for t in trials_subset]
+        weights = [1.0] * len(batches)
+        while len(batches) < G:
+            batches.append(batches[0])
+            weights.append(0.0)
+        out = {
+            k: np.stack([b[k] for b in batches])
+            for k in batches[0]
+            if not k.startswith("_")
+        }
+        out["trial_weight"] = np.asarray(weights, np.float32)
+        return out
+
+    if G > 1:
+        sample = make_group(train_trials[:G], "train")
+        sample_no_w = {k: v[0] for k, v in sample.items()
+                       if k != "trial_weight"}
+        state = exp.init_state(jax.random.key(cfg.seed), sample_no_w,
+                               frozen=frozen)
+    else:
+        state = exp.init_state(
+            jax.random.key(cfg.seed),
+            _device_batch(make_batch(train_trials[0], "train")),
+            frozen=frozen,
+        )
 
     best, best_ckpt, history = None, None, []
     for epoch in range(cfg.n_epochs):
@@ -380,10 +413,18 @@ def train_frame_fold(
         cms, losses = [], []
         from ..utils.prefetch import prefetch_to_device
 
-        for batch in prefetch_to_device(
-            (_device_batch(make_batch(train_trials[i], "train")) for i in order),
-            depth=cfg.prefetch_depth,
-        ):
+        if G > 1:
+            groups = [
+                make_group([train_trials[i] for i in order[s : s + G]], "train")
+                for s in range(0, len(order), G)
+            ]
+            batch_iter = iter(groups)
+        else:
+            batch_iter = (
+                _device_batch(make_batch(train_trials[i], "train"))
+                for i in order
+            )
+        for batch in prefetch_to_device(batch_iter, depth=cfg.prefetch_depth):
             state, m = exp.train_step(state, batch)
             cms.append(m["cm"])
             losses.append(m["loss"])
@@ -392,7 +433,8 @@ def train_frame_fold(
                                  per_batch=False)
         train_loss = float(np.mean([float(l) for l in losses]))
 
-        ev = evaluate_frame_fold(cfg, exp, state, test_trials, gates)
+        ev = evaluate_frame_fold(cfg, exp, state, test_trials, gates,
+                                 common_bucket=common_bucket)
         row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -421,35 +463,69 @@ def train_frame_fold(
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 
-def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None) -> Dict:
+def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
+                        common_bucket=None) -> Dict:
     average = "binary" if cfg.error_type == "global" else "macro"
     preds, probs, labels, gests, subjects, cms, losses = [], [], [], [], [], [], []
     raw_labels = []
     t_infer, n_frames = 0.0, 0
-    for trial in test_trials:
+    G = cfg.trial_batch
+
+    def one_batch(trial):
         gate = None
         if gates is not None:
             gate = gates["test"].get(trial.name)
-        batch = frame_batch(trial, cfg, gate=gate)
+        b = frame_batch(trial, cfg, bucket=common_bucket or 256, gate=gate)
         if exp.family == "tsvn":
-            batch["tecno_logits"] = np.zeros(
-                (1, batch["labels"].shape[0], cfg.out_features), np.float32
+            b["tecno_logits"] = np.zeros(
+                (1, b["labels"].shape[0], cfg.out_features), np.float32
             )
+        return b
+
+    def record(trial, batch, preds_row, probs_row):
         T = int(batch["true_len"])
-        t0 = time.time()
-        m = exp.eval_step(state, _device_batch(batch))
-        jax.block_until_ready(m["preds"])
-        t_infer += time.time() - t0
-        n_frames += T
-        preds.append(np.asarray(m["preds"])[:T])
-        probs.append(np.asarray(m["probs"])[:T])
+        preds.append(np.asarray(preds_row)[:T])
+        probs.append(np.asarray(probs_row)[:T])
         labels.append(batch["labels"][:T])
         gests.append(batch["_gestures"][:T])
         if trial.e_raw is not None:
             raw_labels.append(trial.e_raw[:T])
         subjects.extend([trial.name] * T)
-        cms.append(np.asarray(m["cm"]))
-        losses.append(float(m["loss"]))
+        return T
+
+    if G > 1:
+        for s in range(0, len(test_trials), G):
+            group = test_trials[s : s + G]
+            batches = [one_batch(t) for t in group]
+            weights = [1.0] * len(batches)
+            while len(batches) < G:
+                batches.append(batches[0])
+                weights.append(0.0)
+            stacked = {
+                k: np.stack([b[k] for b in batches])
+                for k in batches[0] if not k.startswith("_")
+            }
+            stacked["trial_weight"] = np.asarray(weights, np.float32)
+            t0 = time.time()
+            m = exp.eval_step(state, stacked)
+            jax.block_until_ready(m["preds"])
+            t_infer += time.time() - t0
+            for gi, (trial, batch) in enumerate(zip(group, batches)):
+                n_frames += record(trial, batch,
+                                   np.asarray(m["preds"])[gi],
+                                   np.asarray(m["probs"])[gi])
+            cms.append(np.asarray(m["cm"]))
+            losses.append(float(m["loss"]))
+    else:
+        for trial in test_trials:
+            batch = one_batch(trial)
+            t0 = time.time()
+            m = exp.eval_step(state, _device_batch(batch))
+            jax.block_until_ready(m["preds"])
+            t_infer += time.time() - t0
+            n_frames += record(trial, batch, m["preds"], m["probs"])
+            cms.append(np.asarray(m["cm"]))
+            losses.append(float(m["loss"]))
     pooled = _epoch_metrics(cms, average, per_batch=False)
     return {
         "metrics": {

@@ -3,6 +3,7 @@ synthetic trials through the full loss/metric stack."""
 
 import numpy as np
 import jax
+import pytest
 
 from med_tpu.config import ExperimentConfig
 from med_tpu.ops.metrics import metrics_from_cm
@@ -66,3 +67,51 @@ def test_cog_learns(rng):
     ev = exp.eval_step(state, batches[0])
     m = metrics_from_cm(np.asarray(ev["cm"]), "binary")
     assert m["accuracy"] > 0.8, m
+
+
+def test_trial_parallel_matches_single_trial_eval(rng, tmp_path):
+    """trial_batch>1 eval loss equals the weighted mean of per-trial losses,
+    and training runs end-to-end with averaged gradients."""
+    from med_tpu.data.datasets import build_frame_fold
+    from med_tpu.train.loop import train_frame_fold
+    from tests.test_end_to_end import make_synth_fold
+
+    fold_dir = make_synth_fold(tmp_path, rng, n_trials=5, frames_per_trial=150)
+    base = ExperimentConfig(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+        n_epochs=2, lr=1e-3, lr_scheduler=False, weight_decay=0.0,
+    )
+    train_trials = build_frame_fold(fold_dir, base, "train.csv")
+    test_trials = build_frame_fold(fold_dir, base, "test.csv")
+
+    res1 = train_frame_fold(base, train_trials, test_trials)
+    res2 = train_frame_fold(base.replace(trial_batch=2), train_trials,
+                            test_trials)
+    # same prediction-dump shape and sane metrics under the batched regime
+    assert len(res2["best"]["preds"]) == len(res1["best"]["preds"])
+    assert np.isfinite(res2["history"][0]["train_loss"])
+    assert res2["best"]["cm"].sum() == res1["best"]["cm"].sum()
+
+    # eval-mode loss of a 2-trial group == mean of the two per-trial losses
+    from med_tpu.data.datasets import bucket_length, frame_batch
+    from med_tpu.train.engine import Experiment
+    import jax
+
+    bucket = bucket_length(max(t.n_frames for t in train_trials + test_trials))
+    exp1 = Experiment(base)
+    expG = Experiment(base.replace(trial_batch=2))
+    b0 = frame_batch(train_trials[0], base, bucket=bucket)
+    b1 = frame_batch(train_trials[1], base, bucket=bucket)
+    b0 = {k: v for k, v in b0.items() if not k.startswith("_")}
+    b1 = {k: v for k, v in b1.items() if not k.startswith("_")}
+    state = exp1.init_state(jax.random.key(0), b0)
+    l0 = float(exp1.eval_step(state, b0)["loss"])
+    l1 = float(exp1.eval_step(state, b1)["loss"])
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    stacked["trial_weight"] = np.ones(2, np.float32)
+    stateG = expG.init_state(jax.random.key(0), b0, frozen=None)
+    stateG = stateG.replace(params=state.params,
+                            batch_stats=state.batch_stats)
+    lg = float(expG.eval_step(stateG, stacked)["loss"])
+    assert lg == pytest.approx((l0 + l1) / 2, rel=1e-5)
