@@ -25,7 +25,7 @@ _CONFIG_FIELDS = [
     ("num_R", int), ("num_layers_R", int), ("num_layers_Basic", int),
     ("d_model", int), ("d_q", int), ("sequence_length", int),
     ("smooth_lambda", float), ("n_pairs", int), ("n_comparisons", int),
-    ("seed", int), ("loss_or_f1", str), ("run_id", str),
+    ("seed", int), ("loss_or_f1", str), ("run_id", str), ("trial_batch", int),
 ]
 _BOOL_FIELDS = ["lr_scheduler", "pos_weight", "delete_ND", "siamese",
                 "mstcn_causal_conv", "use_pallas", "SRM", "use_skill_prompt"]

@@ -177,3 +177,37 @@ def test_run_alignment_and_overlap(rng):
     import tempfile, os
     path = os.path.join(tempfile.mkdtemp(), "hist.png")
     assert os.path.exists(probability_histograms(d_a, path))
+
+
+def test_trial_parallel_sharded_over_mesh(rng):
+    """Trial-parallel frame step with the trial axis sharded over the mesh
+    'data' axis (DP across trials on multiple chips)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = ExperimentConfig(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+        trial_batch=4, use_pallas=False,
+    )
+    exp = Experiment(cfg)
+    G, Tp = 4, 128
+    single = {
+        "images": jnp.zeros((1, Tp, 2048), jnp.float32),
+        "kinematics": jnp.asarray(rng.normal(size=(1, Tp, 26)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 2, Tp)),
+        "mask": jnp.ones(Tp, jnp.float32),
+        "true_len": jnp.asarray(Tp, jnp.int32),
+    }
+    state = exp.init_state(jax.random.key(0), single)
+    stacked = {k: jnp.stack([v] * G) for k, v in single.items()}
+    stacked["trial_weight"] = jnp.ones(G, jnp.float32)
+
+    mesh = make_mesh((4, 2))
+    sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))))
+        for k, v in stacked.items()
+    }
+    state = shard_state(state, mesh)
+    state, m = exp.train_step(state, sharded)
+    assert np.isfinite(float(m["loss"]))
+    assert int(np.asarray(m["cm"]).sum()) == G * Tp
