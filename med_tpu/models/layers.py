@@ -69,8 +69,54 @@ def mlp_head(
     return nn.Dense(n_classes, kernel_init=xavier_normal, name=f"{name}_out")(x)
 
 
+class _TapConv(nn.Module):
+    """k-tap 1-D conv as k shifted (T, C)@(C, O) matmuls.
+
+    On TPU the temporal convs here are tiny ((1, T, 64) activations), where
+    XLA's convolution lowering is slower than feeding the MXU directly; the
+    tap formulation is mathematically identical. Params match ``nn.Conv``
+    exactly — kernel (K, I, O) + bias (O,) — so checkpoints and the torch
+    importers are unaffected.
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int
+    pad: tuple  # (left, right)
+    use_bias: bool
+    kernel_init: object
+    bias_init: object
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, d = self.kernel_size, self.dilation
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, x.shape[-1], self.features)
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        left, right = self.pad
+        if left or right:
+            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+        t_out = x.shape[1] - d * (k - 1)
+        y = jnp.einsum("btc,co->bto", x[:, :t_out], kernel[0])
+        for j in range(1, k):
+            y = y + jnp.einsum(
+                "btc,co->bto", x[:, j * d : j * d + t_out], kernel[j]
+            )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            y = y + bias
+        return y
+
+
 class Conv1d(nn.Module):
-    """1-D convolution on (B, T, C) with torch-default init."""
+    """1-D convolution on (B, T, C) with torch-default init, lowered to
+    shifted matmuls (see :class:`_TapConv`)."""
 
     features: int
     kernel_size: int = 1
@@ -83,15 +129,23 @@ class Conv1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1] * self.kernel_size
-        return nn.Conv(
+        if self.padding == "VALID":
+            pad = (0, 0)
+        elif self.padding == "SAME":
+            total = self.dilation * (self.kernel_size - 1)
+            pad = (total // 2, total - total // 2)
+        else:
+            pad = tuple(self.padding[0])
+        return _TapConv(
             self.features,
-            (self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            padding=self.padding,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init or torch_default_kernel,
-            bias_init=torch_default_bias(fan_in),
-            dtype=self.dtype,
+            self.kernel_size,
+            self.dilation,
+            pad,
+            self.use_bias,
+            self.kernel_init or torch_default_kernel,
+            torch_default_bias(fan_in),
+            self.dtype,
+            name="Conv_0",
         )(x)
 
 
