@@ -132,3 +132,70 @@ def load_ensemble(
         )
         members.append(WindowModelBundle(cfg, ckpt))
     return EnsembleServer(members, mode=mode, mesh=mesh)
+
+
+class FrameModelServer:
+    """Live frame-level inference for the frame families (TeCNo / TransSVNet
+    / COG): standardize kinematics with the fold statistics, bucket-pad the
+    trial, run the jitted eval step, return per-frame predictions and
+    positive-class probabilities. One compilation per bucket length."""
+
+    def __init__(self, cfg: ExperimentConfig, checkpoint: Dict,
+                 stats: Dict = None, frozen=None):
+        from ..train.engine import Experiment
+
+        self.cfg = cfg
+        self.stats = stats
+        self.exp = Experiment(cfg)
+        self._state = None
+        self._checkpoint = checkpoint
+        self._frozen = frozen
+
+    def _ensure_state(self, batch):
+        import jax
+
+        if self._state is None:
+            state = self.exp.init_state(jax.random.key(0), batch,
+                                        frozen=self._frozen)
+            self._state = state.replace(
+                params=self._checkpoint["params"],
+                batch_stats=self._checkpoint.get("batch_stats",
+                                                 state.batch_stats),
+                constants=self._checkpoint.get("constants", state.constants)
+                if self._checkpoint.get("constants") else state.constants,
+            )
+        return self._state
+
+    def predict_trial(self, images, kinematics):
+        """images (T, 2048), kinematics (T, 26) raw -> (preds (T,), probs)."""
+        import numpy as np
+
+        from ..data.datasets import FrameTrial, frame_batch
+        from ..data.labels import skill_one_hot
+
+        kin = kinematics
+        if self.stats is not None:
+            kin = (kinematics - self.stats["kinematics"]["mean"]) / (
+                self.stats["kinematics"]["std"]
+            )
+        T = len(kin)
+        trial = FrameTrial(
+            name="Needle_Passing_B000",
+            images=np.asarray(images, np.float32),
+            kinematics=np.asarray(kin, np.float32),
+            g_labels=np.ones(T, np.int64),
+            e_powerset=np.zeros((T, 7), np.int32),
+            skill=skill_one_hot("Needle_Passing_B000", T),
+        )
+        batch = frame_batch(trial, self.cfg)
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+        if self.exp.family == "tsvn":
+            batch["tecno_logits"] = np.zeros(
+                (1, batch["labels"].shape[0], self.cfg.out_features),
+                np.float32,
+            )
+        state = self._ensure_state(batch)
+        m = self.exp.eval_step(state, batch)
+        import numpy as _np
+
+        return (_np.asarray(m["preds"])[:T], _np.asarray(m["probs"])[:T])

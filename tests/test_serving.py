@@ -79,3 +79,35 @@ def test_server_on_mesh(rng):
     preds0, p0 = server_plain.predict(images, kin)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p0), atol=1e-6)
     assert preds.shape == (B,)
+
+
+def test_frame_model_server(rng):
+    from med_tpu.eval.serving import FrameModelServer
+
+    cfg = ExperimentConfig(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+        use_pallas=False,
+    )
+    exp = Experiment(cfg)
+    T = 120
+    batch = {
+        "images": jnp.zeros((1, 256, 2048)),
+        "kinematics": jnp.zeros((1, 256, 26)),
+        "labels": jnp.zeros(256, jnp.int32),
+        "mask": jnp.ones(256, jnp.float32),
+        "true_len": jnp.asarray(256, jnp.int32),
+    }
+    state = exp.init_state(jax.random.key(0), batch)
+    ckpt = jax.device_get({"params": state.params,
+                           "batch_stats": state.batch_stats})
+    stats = {"kinematics": {"mean": np.zeros(26, np.float32),
+                            "std": np.ones(26, np.float32)}}
+    server = FrameModelServer(cfg, ckpt, stats=stats)
+    preds, probs = server.predict_trial(
+        rng.normal(size=(T, 2048)).astype(np.float32),
+        rng.normal(size=(T, 26)).astype(np.float32),
+    )
+    assert preds.shape == (T,)
+    assert probs.shape == (T,)
+    assert set(np.unique(preds)) <= {0, 1}
