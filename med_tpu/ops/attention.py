@@ -102,13 +102,13 @@ def sliding_window_attention_xla(q, k, v, window: int) -> jnp.ndarray:
 
 
 def _swa_kernel(q_ref, k_ref, v_ref, o_ref, *, window: int, tile: int):
-    """One (time-tile, head) cell of the banded local attention.
+    """One (head, time-tile) cell of the banded local attention.
 
-    Block shapes:
-      q_ref: (tile, M, dk)        queries of the tile, one head
-      k_ref: (tile + window - 1, dk)  keys incl. left halo (input prepadded)
-      v_ref: (tile + window - 1, dv)
-      o_ref: (tile, M, dv)
+    Block shapes (leading (1, 1) head/tile dims collapse on reshape):
+      q_ref: (1, 1, tile, M, dk)            queries of the tile, one head
+      k_ref: (1, 1, tile + window - 1, dk)  keys incl. left halo
+      v_ref: (1, 1, tile + window - 1, dv)
+      o_ref: (1, 1, tile, M, dv)
 
     Frame i of the tile attends to halo rows [i, i + window); banded masking
     keeps exactly those. The zero halo rows reproduce the reference's
