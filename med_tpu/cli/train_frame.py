@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 
 from ..tracking import RunTracker
-from ..train.checkpoint import load_checkpoint
+from ..train.checkpoint import load_best_checkpoint
 from .common import base_parser, config_from_args, run_frame_folds
 
 
@@ -15,9 +15,9 @@ def _frozen_fn(args):
     run_dir = RunTracker.find_run(args.runs_root, args.run_id)
 
     def fn(out):
-        ckpt = load_checkpoint(
-            os.path.join(run_dir, "checkpoints",
-                         f"best_model_{args.setting}_{out}.npz")
+        ckpt = load_best_checkpoint(
+            os.path.join(run_dir, "checkpoints"), args.setting, out,
+            model_name="TeCNo",
         )
         return {"tecno_params": ckpt["params"]["model"]}
 

@@ -14,7 +14,7 @@ import numpy as np
 from ..config import ExperimentConfig
 from ..data.datasets import frame_batch
 from ..tracking import RunTracker
-from ..train.checkpoint import load_checkpoint
+from ..train.checkpoint import load_best_checkpoint
 from ..train.engine import Experiment
 from .common import base_parser, config_from_args, run_frame_folds
 
@@ -31,9 +31,9 @@ def _gates_fn(args, cfg_seq):
     def fn(out, train_trials, test_trials):
         import jax
 
-        ckpt = load_checkpoint(
-            os.path.join(run_dir, "checkpoints",
-                         f"best_model_{args.setting}_{out}.npz")
+        ckpt = load_best_checkpoint(
+            os.path.join(run_dir, "checkpoints"), args.setting, out,
+            model_name=cfg_bin.model_name,
         )
         b0 = frame_batch(test_trials[0], cfg_bin)
         b0 = {k: v for k, v in b0.items() if not k.startswith("_")}

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..config import ExperimentConfig
 from ..tracking import RunTracker
-from ..train.checkpoint import load_checkpoint
+from ..train.checkpoint import load_best_checkpoint
 from ..train.engine import Experiment
 from ..train.loop import evaluate_window_fold
 from .common import base_parser, config_from_args, run_window_folds
@@ -42,9 +42,9 @@ def _gate_fn(args, cfg_seq):
     exp_bin = Experiment(cfg_bin)
 
     def fn(out, train_fold, test_fold):
-        ckpt = load_checkpoint(
-            os.path.join(run_dir, "checkpoints",
-                         f"best_model_{args.setting}_{out}.npz")
+        ckpt = load_best_checkpoint(
+            os.path.join(run_dir, "checkpoints"), args.setting, out,
+            model_name=cfg_bin.model_name,
         )
         state = exp_bin.init_state(
             __import__("jax").random.key(0),

@@ -116,7 +116,7 @@ def load_ensemble(
     import os
 
     from ..tracking import RunTracker
-    from ..train.checkpoint import load_checkpoint
+    from ..train.checkpoint import load_best_checkpoint
 
     members = []
     for run_id in run_ids:
@@ -126,9 +126,9 @@ def load_ensemble(
         fields = {k: v for k, v in params.items()
                   if k in ExperimentConfig.__dataclass_fields__}
         cfg = ExperimentConfig(**fields)
-        ckpt = load_checkpoint(
-            os.path.join(run_dir, "checkpoints",
-                         f"best_model_{setting}_{fold}.npz")
+        ckpt = load_best_checkpoint(
+            os.path.join(run_dir, "checkpoints"), setting, fold,
+            model_name=cfg.model_name,
         )
         members.append(WindowModelBundle(cfg, ckpt))
     return EnsembleServer(members, mode=mode, mesh=mesh)

@@ -37,12 +37,40 @@ def save_checkpoint(
             json.dump(meta, f, indent=1)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, model_name: Optional[str] = None) -> Dict[str, Any]:
+    """Load a checkpoint tree. A reference torch ``best_model_*.pt`` blob
+    (modeling_utils.py:3028-3040) is transparently imported via
+    :mod:`med_tpu.utils.torch_port` — ``model_name`` is required then, so the
+    state_dict key layout can be mapped."""
+    if path.endswith(".pt"):
+        if model_name is None:
+            raise ValueError(
+                "model_name is required to import a reference .pt checkpoint"
+            )
+        from ..utils.torch_port import import_reference_checkpoint
+
+        return import_reference_checkpoint(path, model_name)
     if not path.endswith(".npz") and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     return unflatten_dict(flat, sep="/")
+
+
+def load_best_checkpoint(
+    ckpt_dir: str, setting: str, out: str, model_name: Optional[str] = None
+) -> Dict[str, Any]:
+    """Load ``best_model_{setting}_{out}`` from a run's checkpoint dir,
+    preferring our ``.npz`` format and falling back to a reference torch
+    ``.pt`` blob with the same stem (the reference's save naming,
+    modeling_utils.py:3028-3040) — so recorded reference runs can be served,
+    ensembled, or used as a frozen TSVN stage directly."""
+    base = os.path.join(ckpt_dir, f"best_model_{setting}_{out}")
+    if os.path.exists(base + ".npz"):
+        return load_checkpoint(base + ".npz")
+    if os.path.exists(base + ".pt"):
+        return load_checkpoint(base + ".pt", model_name=model_name)
+    raise FileNotFoundError(base + ".{npz,pt}")
 
 
 # ----------------------------------------------------------------- resume
