@@ -7,6 +7,12 @@ Expected raw layout (JIGSAWS + error-annotation release):
   <raw>/transcriptions/<Trial>.txt      'start end G#' rows
   <raw>/errors/<Trial>.csv              OPTIONAL precomputed frame x 5 table
   <raw>/error_segments/<Trial>.json     OPTIONAL {error_name: [[s,e,v],…]}
+  <raw>/consensus_errors/[<Task>/]…     OPTIONAL raw consensus release
+                                        (Error_specific/G{i}_*.csv +
+                                        error_{NP,S}_G{i}.csv), ingested via
+                                        data/consensus.py (reference
+                                        process_errors, preprocessing_utils
+                                        .py:314-497)
   <raw>/features/<Trial>.npy            OPTIONAL (N, 2048) per-frame features
                                         (e.g. exported ResNet features)
 
@@ -22,6 +28,7 @@ import os
 
 import numpy as np
 
+from ..data.consensus import find_consensus_folder, segments_from_consensus_csvs
 from ..data.preprocessing import (
     gestures_for_frames,
     parse_transcript_file,
@@ -44,9 +51,14 @@ def process_trial(raw_root: str, trial_name: str, frequency: int) -> Trial:
 
     err_json = os.path.join(raw_root, "error_segments", trial_name + ".json")
     err_csv = os.path.join(raw_root, "errors", trial_name + ".csv")
+    consensus_dir = find_consensus_folder(raw_root, trial_name)
     if os.path.exists(err_json):
         with open(err_json) as f:
             segments = {k: [tuple(r) for r in v] for k, v in json.load(f).items()}
+        e_labels, keep = errors_for_frames(transcript, segments, frames)
+        feats, frames, gestures = feats[keep], frames[keep], gestures[keep]
+    elif consensus_dir is not None:
+        segments = segments_from_consensus_csvs(consensus_dir, trial_name)
         e_labels, keep = errors_for_frames(transcript, segments, frames)
         feats, frames, gestures = feats[keep], frames[keep], gestures[keep]
     elif os.path.exists(err_csv):
