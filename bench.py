@@ -30,11 +30,19 @@ import time
 import numpy as np
 
 ITERS = 20
+# Best-of-N warm repeats: the axon relay has seconds-scale dispatch jitter,
+# so a single sample can read tens of percent slow; the best of 3 is stable
+# (round-1 VERDICT: recorded 317k windows/s vs the code's ~475k).
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # Wall-clock budget: remote TPU compiles dominate (~30-160 s per sub-bench);
 # once the budget is spent, remaining sub-benchmarks are skipped so the
 # headline JSON line is always printed (values default to -1 when skipped).
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 _T_START = time.time()
+
+# Fraction-of-peak denominator: TPU v5e ≈ 197 bf16 TFLOP/s per chip
+# (jax-ml.github.io/scaling-book hardware table); override for other chips.
+PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", "1.97e14"))
 
 
 def _budget_left() -> bool:
@@ -42,14 +50,38 @@ def _budget_left() -> bool:
 
 
 def _timed_loop(make_run, carry):
-    """Compile `run(carry)` = fori_loop of the workload; time one warm call."""
+    """Compile `run(carry)` = fori_loop of the workload; best of REPEATS
+    warm calls (each call runs ITERS chained iterations)."""
     import jax
 
     run = make_run()
     carry = jax.block_until_ready(run(carry))  # compile + warm
-    t0 = time.perf_counter()
-    carry = jax.block_until_ready(run(carry))
-    return (time.perf_counter() - t0) / ITERS
+    best = float("inf")
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        carry = jax.block_until_ready(run(carry))
+        best = min(best, time.perf_counter() - t0)
+        if r + 1 < REPEATS and not _budget_left():
+            break
+    return best / ITERS
+
+
+def _loop_flops(make_run, carry):
+    """Total HLO flops of one fori_loop program / ITERS, via XLA cost
+    analysis (-1 if the backend doesn't expose it)."""
+    try:
+        an = make_run().lower(carry).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", -1.0)) / ITERS
+    except Exception:
+        return -1.0
+
+
+def _mfu(flops_per_iter: float, t_per_iter: float) -> float:
+    if flops_per_iter <= 0 or t_per_iter <= 0:
+        return -1.0
+    return flops_per_iter / t_per_iter / PEAK_FLOPS
 
 
 def main():
@@ -100,6 +132,7 @@ def main():
     windows_per_sec = B / t_infer
     ms_per_window = t_infer / B * 1e3
     ref_windows_per_sec = 1.0 / 1.04e-3  # BASELINE.md multimodal CNN
+    infer_flops = _loop_flops(make_infer_run, batch["images"])
 
     # ---- window train step (state carry is inherently data-dependent) ----
     t_train = -1.0
@@ -138,10 +171,14 @@ def main():
         fstate = exp.init_state(jax.random.key(9), batch)
         fstate, _, fl = fused.run_epoch(fstate, 0)
         jax.block_until_ready(fl)
-        t0 = time.perf_counter()
-        fstate, _, fl = fused.run_epoch(fstate, 1)
-        jax.block_until_ready(fl)
-        t_epoch = time.perf_counter() - t0
+        t_epoch = float("inf")
+        for r in range(REPEATS):
+            t0 = time.perf_counter()
+            fstate, _, fl = fused.run_epoch(fstate, 1 + r)
+            jax.block_until_ready(fl)
+            t_epoch = min(t_epoch, time.perf_counter() - t0)
+            if not _budget_left():
+                break
         fused_windows_per_sec = Nf / t_epoch
 
     # ---- COG frame inference (multimodal, T=1024) ----
@@ -178,10 +215,11 @@ def main():
         return run
 
     ref_cog_frames_per_sec = 1.0 / 1.95e-3  # BASELINE.md COG ms/frame
-    t_cog, cog_frames_per_sec = -1.0, -1.0
+    t_cog, cog_frames_per_sec, cog_flops = -1.0, -1.0, -1.0
     if _budget_left():
         t_cog = _timed_loop(make_cog_run, fbatch["images"])
         cog_frames_per_sec = T / t_cog
+        cog_flops = _loop_flops(make_cog_run, fbatch["images"])
 
     # ---- end-to-end pixels -> fused preprocess -> ResNet-50 -> features
     #      -> FeatureExtractor -> window head (the BASELINE.json pipeline) ----
@@ -245,6 +283,11 @@ def main():
             "e2e_pixels_resnet_head_frames_per_sec": round(e2e_frames_per_sec, 1),
             "e2e_vs_baseline": round(e2e_vs_baseline, 2),
             "e2e_trunk_dtype": str(trunk.dtype.__name__ if hasattr(trunk.dtype, "__name__") else trunk.dtype),
+            # fraction of chip peak (v5e bf16 ≈ 197 TFLOP/s unless overridden)
+            "window_infer_mfu": round(_mfu(infer_flops, t_infer), 4),
+            "cog_infer_mfu": round(_mfu(cog_flops, t_cog), 4),
+            "peak_flops_assumed": PEAK_FLOPS,
+            "timing": f"best of {REPEATS} x fori_loop({ITERS})",
         },
     }
     print(json.dumps(result))

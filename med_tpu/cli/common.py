@@ -26,9 +26,11 @@ _CONFIG_FIELDS = [
     ("d_model", int), ("d_q", int), ("sequence_length", int),
     ("smooth_lambda", float), ("n_pairs", int), ("n_comparisons", int),
     ("seed", int), ("loss_or_f1", str), ("run_id", str), ("trial_batch", int),
+    ("es_weight_scale", float),
 ]
 _BOOL_FIELDS = ["lr_scheduler", "pos_weight", "delete_ND", "siamese",
-                "mstcn_causal_conv", "use_pallas", "SRM", "use_skill_prompt"]
+                "mstcn_causal_conv", "use_pallas", "SRM", "use_skill_prompt",
+                "fused_epoch"]
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:

@@ -93,6 +93,10 @@ class ExperimentConfig:
     weight_decay: float = 5e-3
     lr_scheduler: bool = True         # cosine annealing to 1e-6 over n_epochs
     pos_weight: bool = False          # BCE pos_weight / CE class weights
+    es_weight_scale: float = 1.5      # ES: divide inverse-freq weights of
+                                      # powerset classes 1/3/4/5 by this when
+                                      # pos_weight is on (train_window_ES
+                                      # .ipynb cell 2 "/1.5"); 1.0 disables
     loss_or_f1: str = "f1"            # best-checkpoint selection criterion
     seed: int = 42
 

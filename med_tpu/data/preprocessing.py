@@ -213,49 +213,115 @@ def jax_preprocess_frames(frames_uint8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     return (x - jnp.asarray(mean)) / jnp.asarray(std)
 
 
-def decode_video_frames(path: str, frequency: int = 30):
-    """Best-effort video decode: OpenCV if importable, else ffmpeg pipe, else
-    raises. (Neither ships in this image — the decode path is gated, the
-    downstream pixel pipeline is covered by the native/JAX kernels above.)"""
-    try:
-        import cv2  # type: ignore
+def subsample_stream(frames_iter, frequency: int = 30):
+    """Yield (frame_count, frame) pairs kept by the reference's subsample
+    rule: 1-based ``frame_count % (30 / frequency) == 1``
+    (preprocessing_utils.py:59-64 — float modulo, so frames 1, 1+step, …).
+    ``frequency == 30`` keeps everything."""
+    if not (1 <= frequency <= 30):
+        raise ValueError("frequency must be between 1 and 30 Hz")
+    step = 30 / frequency
+    count = 1
+    for frame in frames_iter:
+        if frequency == 30 or count % step == 1:
+            yield count, frame
+        count += 1
 
-        cap = cv2.VideoCapture(path)
-        frames = []
-        count = 1
-        step = 30 // frequency if frequency != 30 else 1
-        while True:
-            ret, frame = cap.read()
-            if not ret:
-                break
-            if frequency == 30 or count % step == 1:
-                frames.append(frame[..., ::-1])  # BGR -> RGB
-            count += 1
-        cap.release()
-        return np.stack(frames) if frames else np.empty((0, 0, 0, 3), np.uint8)
-    except ImportError:
-        pass
+
+def _ffmpeg_frame_stream(path: str, frequency: int):
+    """Stream RGB frames through an ffmpeg raw-video pipe (no full-file
+    buffering): ffprobe for dimensions, then fixed-size reads off the pipe."""
     import shutil
     import subprocess
 
     ffmpeg = shutil.which("ffmpeg")
-    if not ffmpeg:
+    ffprobe = shutil.which("ffprobe")
+    if not ffmpeg or not ffprobe:
         raise RuntimeError(
             "no video decoder available (cv2/ffmpeg missing); "
             "provide pre-extracted frames instead"
         )
     probe = subprocess.run(
-        [ffmpeg.replace("ffmpeg", "ffprobe"), "-v", "quiet", "-select_streams",
-         "v:0", "-show_entries", "stream=width,height", "-of", "csv=p=0", path],
-        capture_output=True, text=True,
+        [ffprobe, "-v", "quiet", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height", "-of", "csv=p=0", path],
+        capture_output=True, text=True, check=True,
     )
     w, h = map(int, probe.stdout.strip().split(","))
-    proc = subprocess.run(
+    proc = subprocess.Popen(
         [ffmpeg, "-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-v",
          "quiet", "-"],
-        capture_output=True,
+        stdout=subprocess.PIPE,
     )
-    frames = np.frombuffer(proc.stdout, np.uint8).reshape(-1, h, w, 3)
-    if frequency != 30:
-        frames = frames[:: 30 // frequency]
-    return frames
+    nbytes = w * h * 3
+
+    def gen():
+        try:
+            while True:
+                buf = proc.stdout.read(nbytes)
+                if buf is None or len(buf) < nbytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        finally:
+            proc.stdout.close()
+            proc.wait()
+
+    return (f for _, f in subsample_stream(gen(), frequency))
+
+
+def iter_video_frames(path: str, frequency: int = 30):
+    """Stream decoded RGB frames at ``frequency``: OpenCV if importable,
+    else the ffmpeg pipe. Both share :func:`subsample_stream`, so the
+    reference's count-based keep rule holds either way."""
+    try:
+        import cv2  # type: ignore
+    except ImportError:
+        return _ffmpeg_frame_stream(path, frequency)
+
+    def gen():
+        cap = cv2.VideoCapture(path)
+        try:
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                yield frame[..., ::-1]  # BGR -> RGB
+        finally:
+            cap.release()
+
+    return (f for _, f in subsample_stream(gen(), frequency))
+
+
+def decode_video_frames(path: str, frequency: int = 30):
+    """Materialize a whole trial's frames (N, H, W, 3) uint8 (reference
+    convert_videos_to_frames, preprocessing_utils.py:46-84, minus the
+    per-frame PNG writes — downstream consumes arrays)."""
+    frames = list(iter_video_frames(path, frequency))
+    return np.stack(frames) if frames else np.empty((0, 0, 0, 3), np.uint8)
+
+
+def decode_preprocess_batches(
+    path: str, frequency: int = 30, batch: int = 64, depth: int = 2,
+    frames_iter=None,
+):
+    """Decode -> fixed-size host batches -> double-buffered device transfer
+    -> fused resize/crop/normalize graph; yields (n, 224, 224, 3) float32
+    device arrays ready for the ResNet trunk (SURVEY §7.2: host decoder with
+    double-buffered prefetch feeding the fused preprocess). ``frames_iter``
+    overrides the decoder for pre-extracted frame streams."""
+    from ..utils.prefetch import prefetch_to_device
+
+    source = frames_iter if frames_iter is not None \
+        else iter_video_frames(path, frequency)
+
+    def host_batches():
+        buf = []
+        for f in source:
+            buf.append(f)
+            if len(buf) == batch:
+                yield {"frames": np.stack(buf)}
+                buf = []
+        if buf:
+            yield {"frames": np.stack(buf)}
+
+    for b in prefetch_to_device(host_batches(), depth=depth):
+        yield jax_preprocess_frames(b["frames"])

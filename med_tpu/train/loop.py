@@ -41,7 +41,13 @@ def _class_counts(cfg: ExperimentConfig, train_fold) -> Optional[np.ndarray]:
     if cfg.error_type == "global":
         dist = train_fold.binary_error_distribution
         return np.asarray(dist, np.float32)
-    return np.asarray(train_fold.specific_error_distribution, np.float32)
+    dist = np.asarray(train_fold.specific_error_distribution, np.float32).copy()
+    # reference ES tweak: counter the extreme inverse frequencies of the
+    # rare powerset classes (train_window_ES.ipynb cell 2 divides the
+    # weights of classes 1/3/4/5 by 1.5; classes 0/2 untouched)
+    if cfg.es_weight_scale != 1.0 and dist.shape[0] >= 6:
+        dist[[1, 3, 4, 5]] /= cfg.es_weight_scale
+    return dist
 
 
 def _epoch_metrics(cms: List[np.ndarray], average: str, per_batch: bool) -> Dict[str, float]:
@@ -353,11 +359,11 @@ def train_frame_fold(
     exp = exp or Experiment(cfg)
     average = "binary" if cfg.error_type == "global" else "macro"
 
-    # trial-parallel: pad every trial of the fold to one common bucket so
-    # groups of cfg.trial_batch trials stack into fixed-shape batches
+    # trial-parallel and fused epochs both need every trial of the fold
+    # padded to one common bucket so trials stack into fixed-shape batches
     G = cfg.trial_batch
     common_bucket = None
-    if G > 1:
+    if G > 1 or cfg.fused_epoch:
         from ..data.datasets import bucket_length
 
         max_t = max(t.n_frames for t in train_trials + test_trials)
@@ -405,36 +411,57 @@ def train_frame_fold(
             frozen=frozen,
         )
 
+    # fused epochs: every trial stacked at the common bucket, one program
+    # per epoch / one per eval pass (bit-exact vs the per-trial loop)
+    fused = fused_eval = None
+    if cfg.fused_epoch:
+        from .fused import FusedFrameEpoch, FusedFrameEval
+
+        fused = FusedFrameEpoch(
+            exp, cfg, [make_batch(t, "train") for t in train_trials])
+        test_batches = [make_batch(t, "test") for t in test_trials]
+        fused_eval = FusedFrameEval(exp, cfg, test_batches)
+        fused_eval.host_batches = test_batches
+
     best, best_ckpt, history = None, None, []
     for epoch in range(cfg.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
         t0 = time.time()
-        order = np.random.default_rng(cfg.seed + epoch).permutation(len(train_trials))
-        cms, losses = [], []
-        from ..utils.prefetch import prefetch_to_device
-
-        if G > 1:
-            groups = [
-                make_group([train_trials[i] for i in order[s : s + G]], "train")
-                for s in range(0, len(order), G)
-            ]
-            batch_iter = iter(groups)
+        if fused is not None:
+            state, cms_stacked, losses_arr = fused.run_epoch(state, epoch)
+            jax.block_until_ready(losses_arr)
+            train_time = time.time() - t0
+            cms = list(np.asarray(cms_stacked))
+            losses = [float(l) for l in np.asarray(losses_arr)]
         else:
-            batch_iter = (
-                _device_batch(make_batch(train_trials[i], "train"))
-                for i in order
-            )
-        for batch in prefetch_to_device(batch_iter, depth=cfg.prefetch_depth):
-            state, m = exp.train_step(state, batch)
-            cms.append(m["cm"])
-            losses.append(m["loss"])
-        train_time = time.time() - t0
+            order = np.random.default_rng(cfg.seed + epoch).permutation(
+                len(train_trials))
+            cms, losses = [], []
+            from ..utils.prefetch import prefetch_to_device
+
+            if G > 1:
+                groups = [
+                    make_group([train_trials[i] for i in order[s : s + G]], "train")
+                    for s in range(0, len(order), G)
+                ]
+                batch_iter = iter(groups)
+            else:
+                batch_iter = (
+                    _device_batch(make_batch(train_trials[i], "train"))
+                    for i in order
+                )
+            for batch in prefetch_to_device(batch_iter, depth=cfg.prefetch_depth):
+                state, m = exp.train_step(state, batch)
+                cms.append(m["cm"])
+                losses.append(m["loss"])
+            train_time = time.time() - t0
         train_m = _epoch_metrics([np.asarray(c) for c in cms], average,
                                  per_batch=False)
         train_loss = float(np.mean([float(l) for l in losses]))
 
         ev = evaluate_frame_fold(cfg, exp, state, test_trials, gates,
-                                 common_bucket=common_bucket)
+                                 common_bucket=common_bucket,
+                                 fused_eval=fused_eval)
         row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -464,7 +491,7 @@ def train_frame_fold(
 
 
 def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
-                        common_bucket=None) -> Dict:
+                        common_bucket=None, fused_eval=None) -> Dict:
     average = "binary" if cfg.error_type == "global" else "macro"
     preds, probs, labels, gests, subjects, cms, losses = [], [], [], [], [], [], []
     raw_labels = []
@@ -493,7 +520,19 @@ def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
         subjects.extend([trial.name] * T)
         return T
 
-    if G > 1:
+    if fused_eval is not None:
+        t0 = time.time()
+        preds_arr, probs_arr, cms_arr, losses_arr = fused_eval.run(state)
+        t_infer = time.time() - t0
+        batches = getattr(fused_eval, "host_batches", None) or [
+            one_batch(t) for t in test_trials
+        ]
+        for trial, batch, prow, qrow in zip(test_trials, batches,
+                                            preds_arr, probs_arr):
+            n_frames += record(trial, batch, prow, qrow)
+        cms = [np.asarray(c) for c in cms_arr]
+        losses = [float(l) for l in np.asarray(losses_arr)]
+    elif G > 1:
         for s in range(0, len(test_trials), G):
             group = test_trials[s : s + G]
             batches = [one_batch(t) for t in group]

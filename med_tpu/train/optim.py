@@ -33,12 +33,15 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 
 def set_lr(opt_state, lr: float):
-    """Update the injected learning rate (returns new state)."""
+    """Return a new optimizer state with the injected learning rate replaced
+    (purely functional: the inject_hyperparams state — last element of the
+    chain tuple — is rebuilt, never mutated, so donated pytrees are safe)."""
     import jax.numpy as jnp
 
-    # inject_hyperparams state is the last element of the chain state tuple
-    opt_state[-1].hyperparams["step_size"] = jnp.asarray(-lr, dtype=jnp.float32)
-    return opt_state
+    inj = opt_state[-1]
+    hyper = dict(inj.hyperparams)
+    hyper["step_size"] = jnp.asarray(-lr, dtype=jnp.float32)
+    return opt_state[:-1] + (inj._replace(hyperparams=hyper),)
 
 
 def epoch_lr(cfg: ExperimentConfig, epoch: int) -> float:

@@ -16,6 +16,8 @@ from med_tpu.cli import (
 from med_tpu.cli.common import run_frame_folds, run_window_folds
 from tests.test_end_to_end import make_synth_fold
 
+pytestmark = pytest.mark.slow  # CLI / convergence tests; skip via -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):

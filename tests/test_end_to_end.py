@@ -23,6 +23,8 @@ from med_tpu.tracking import RunTracker
 from med_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from med_tpu.train.loop import train_frame_fold, train_window_fold
 
+pytestmark = pytest.mark.slow  # CLI / convergence tests; skip via -m 'not slow'
+
 
 def make_synth_fold(tmp_path, rng, n_trials=4, frames_per_trial=160):
     """Synthetic JIGSAWS-like fold with a learnable kinematics signal."""

@@ -127,6 +127,7 @@ def test_tecno_frame(rng):
     assert int(np.asarray(metrics["cm"]).sum()) == 100
 
 
+@pytest.mark.slow
 def test_tsvn_frozen_tecno(rng):
     tecno_cfg = dict(num_stages=2, num_layers=3, f_maps=8, in_dim=26,
                      out_classes=2, causal=True)
@@ -155,6 +156,7 @@ def test_tsvn_frozen_tecno(rng):
     )
 
 
+@pytest.mark.slow
 def test_cog_frame_binary(rng):
     cfg = ExperimentConfig(
         model_name="COG", dataset_type="frame", data_type="kinematics",
@@ -171,6 +173,7 @@ def test_cog_frame_binary(rng):
     assert ev["preds"].shape == (128,)
 
 
+@pytest.mark.slow
 def test_cog_sequential_gate(rng):
     cfg = ExperimentConfig(
         model_name="COG", dataset_type="frame", data_type="kinematics",
@@ -207,3 +210,25 @@ def test_set_lr_changes_updates(rng):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p_before), atol=1e-8
     )
+
+
+def test_es_class_weight_scale():
+    """train_window_ES.ipynb cell 2: inverse-freq weights of powerset
+    classes 1/3/4/5 divided by 1.5 when pos_weight is on; 0/2 untouched."""
+    from med_tpu.train.loop import _class_counts
+
+    class FakeFold:
+        specific_error_distribution = [10.0, 30.0, 5.0, 60.0, 90.0, 120.0]
+        binary_error_distribution = [3.0, 7.0]
+
+    cfg = ExperimentConfig(error_type="all_errors", out_features=6,
+                           pos_weight=True)
+    got = _class_counts(cfg, FakeFold())
+    np.testing.assert_allclose(got, [10.0, 20.0, 5.0, 40.0, 60.0, 80.0])
+    # scale=1.0 disables; pos_weight off -> no weights at all
+    got = _class_counts(cfg.replace(es_weight_scale=1.0), FakeFold())
+    np.testing.assert_allclose(got, FakeFold.specific_error_distribution)
+    assert _class_counts(cfg.replace(pos_weight=False), FakeFold()) is None
+    # binary path untouched by the ES scale
+    got = _class_counts(cfg.replace(error_type="global"), FakeFold())
+    np.testing.assert_allclose(got, [3.0, 7.0])

@@ -9,6 +9,8 @@ from med_tpu.config import ExperimentConfig
 from med_tpu.ops.metrics import metrics_from_cm
 from med_tpu.train.engine import Experiment
 
+pytestmark = pytest.mark.slow  # CLI / convergence tests; skip via -m 'not slow'
+
 
 def separable_frame_batch(rng, cfg, T=192, Tpad=256):
     labels = np.zeros(Tpad, np.int64)

@@ -9,6 +9,8 @@ from med_tpu.data.datasets import build_window_fold
 from med_tpu.train.loop import train_window_fold
 from tests.test_end_to_end import make_synth_fold
 
+pytestmark = pytest.mark.slow  # compile-heavy; skip via -m 'not slow'
+
 
 @pytest.mark.parametrize("model", ["SimpleCNN", "SimpleLSTM"])
 def test_fused_epoch_matches_per_batch(tmp_path, rng, model):
@@ -79,3 +81,64 @@ def test_fused_epoch_es_six_class(tmp_path, rng):
     assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
     assert a["test_f1"] == pytest.approx(b["test_f1"], abs=1e-6)
     assert res_fused["best"]["probs"].shape[-1] == 6
+
+
+# ----------------------------------------------------------- frame families
+def _frame_cfg(**kw):
+    base = dict(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+        n_epochs=2, lr=1e-3, lr_scheduler=False, weight_decay=0.0,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+@pytest.mark.parametrize("trial_batch", [1, 2])
+def test_fused_frame_epoch_matches_per_trial(tmp_path, rng, trial_batch):
+    """FusedFrameEpoch/Eval == the per-trial dispatch loop exactly (same
+    shuffle, same rng stream, same masked losses, same predictions)."""
+    from med_tpu.data.datasets import build_frame_fold
+    from med_tpu.train.loop import train_frame_fold
+
+    fold_dir = make_synth_fold(tmp_path, rng, n_trials=5, frames_per_trial=150)
+    cfg = _frame_cfg(trial_batch=trial_batch)
+    train_trials = build_frame_fold(fold_dir, cfg, "train.csv")
+    test_trials = build_frame_fold(fold_dir, cfg, "test.csv")
+
+    res_f = train_frame_fold(cfg.replace(fused_epoch=True),
+                             train_trials, test_trials)
+    res_p = train_frame_fold(cfg.replace(fused_epoch=False),
+                             train_trials, test_trials)
+    for a, b in zip(res_f["history"], res_p["history"]):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
+        assert a["test_f1"] == pytest.approx(b["test_f1"], abs=1e-6)
+        assert a["test_loss"] == pytest.approx(b["test_loss"], abs=1e-5)
+    np.testing.assert_array_equal(res_f["best"]["preds"],
+                                  res_p["best"]["preds"])
+    np.testing.assert_array_equal(res_f["best"]["cm"], res_p["best"]["cm"])
+
+
+def test_fused_frame_epoch_cog(tmp_path, rng):
+    """COG (multi-track loss, constants, fast-path pooling) through the
+    fused frame path."""
+    from med_tpu.data.datasets import build_frame_fold
+    from med_tpu.train.loop import train_frame_fold
+
+    fold_dir = make_synth_fold(tmp_path, rng, n_trials=4, frames_per_trial=140)
+    cfg = _frame_cfg(
+        model_name="COG", num_layers_Basic=2, num_layers_R=2, num_R=1,
+        mstcn_stages=3, d_model=16, d_q=2, sequence_length=6,
+        use_pallas=False, n_epochs=1,
+    )
+    train_trials = build_frame_fold(fold_dir, cfg, "train.csv")
+    test_trials = build_frame_fold(fold_dir, cfg, "test.csv")
+    res_f = train_frame_fold(cfg.replace(fused_epoch=True),
+                             train_trials, test_trials)
+    res_p = train_frame_fold(cfg.replace(fused_epoch=False),
+                             train_trials, test_trials)
+    a, b = res_f["history"][0], res_p["history"][0]
+    assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-5)
+    assert a["test_f1"] == pytest.approx(b["test_f1"], abs=1e-6)
+    np.testing.assert_array_equal(res_f["best"]["preds"],
+                                  res_p["best"]["preds"])

@@ -5,6 +5,8 @@ import sys
 
 import jax
 
+pytestmark = pytest.mark.slow  # compile-heavy; skip via -m 'not slow'
+
 sys.path.insert(0, "/root/repo")
 
 

@@ -11,6 +11,8 @@ from med_tpu.parallel import make_mesh, shard_batch, shard_state
 from med_tpu.parallel.folds import FoldParallel, stack_trees, unstack_tree
 from med_tpu.train.engine import Experiment
 
+pytestmark = pytest.mark.slow  # compile-heavy; skip via -m 'not slow'
+
 
 def synth_batch(rng, cfg, B=16, shift=0.0):
     W = cfg.window_size

@@ -121,3 +121,82 @@ def test_pixel_pipeline_native_vs_jax(rng):
     # normalization exactness: mean/std applied identically to same pixels
     un_native = native * IMAGENET_STD + IMAGENET_MEAN
     assert un_native.min() >= -1e-4 and un_native.max() <= 1.0 + 1e-4
+
+
+def test_subsample_stream_semantics():
+    """Reference keep rule (preprocessing_utils.py:59-64): 1-based
+    frame_count % (30/frequency) == 1, float modulo."""
+    from med_tpu.data.preprocessing import subsample_stream
+
+    frames = list(range(100, 160))  # 60 synthetic "frames"
+    kept5 = list(subsample_stream(frames, 5))      # step 6.0 -> counts 1,7,13,…
+    assert [c for c, _ in kept5] == list(range(1, 61, 6))
+    assert [f for _, f in kept5] == frames[::6]
+    kept6 = [c for c, _ in subsample_stream(frames, 6)]   # step 5.0
+    assert kept6 == list(range(1, 61, 5))
+    kept30 = list(subsample_stream(frames, 30))
+    assert len(kept30) == 60 and kept30[0] == (1, 100)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(subsample_stream(frames, 60))
+
+
+def test_decode_preprocess_batches_stream(rng):
+    """Double-buffered decode->preprocess stream on a synthetic frame
+    source: batching, tail handling, and parity with the one-shot fused
+    preprocess graph."""
+    import jax.numpy as jnp
+
+    from med_tpu.data.preprocessing import (
+        decode_preprocess_batches,
+        jax_preprocess_frames,
+    )
+
+    frames = rng.integers(0, 256, size=(10, 120, 160, 3)).astype(np.uint8)
+    got = list(decode_preprocess_batches(
+        path="unused", batch=4, frames_iter=iter(frames)))
+    assert [g.shape[0] for g in got] == [4, 4, 2]  # tail batch kept
+    assert got[0].shape[1:] == (224, 224, 3)
+    want = jax_preprocess_frames(frames)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(g) for g in got]), np.asarray(want),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_gated_error():
+    """Without cv2/ffmpeg the decoder raises the documented error."""
+    import pytest as _pytest
+
+    from med_tpu.data.preprocessing import iter_video_frames
+
+    try:
+        import cv2  # noqa: F401
+        _pytest.skip("cv2 present")
+    except ImportError:
+        pass
+    import shutil
+    if shutil.which("ffmpeg"):
+        _pytest.skip("ffmpeg present")
+    with _pytest.raises(RuntimeError, match="no video decoder"):
+        list(iter_video_frames("/nonexistent.avi", 5))
+
+
+def test_video_decode_roundtrip(tmp_path):
+    """Real decode path: write an MJPG video, stream it back at 5 Hz, check
+    the count%step==1 frame selection (reference convert_videos_to_frames)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from med_tpu.data.preprocessing import decode_video_frames
+
+    path = str(tmp_path / "trial_capture2.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (160, 120))
+    for i in range(60):
+        w.write(np.full((120, 160, 3), i * 4, np.uint8))
+    w.release()
+
+    fr = decode_video_frames(path, 5)
+    assert fr.shape == (10, 120, 160, 3)
+    # kept 1-based frames 1,7,13,… -> source values 0,24,48,… (MJPG-lossy)
+    means = fr.mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(means, np.arange(0, 60, 6) * 4, atol=4)
+    assert decode_video_frames(path, 30).shape[0] == 60

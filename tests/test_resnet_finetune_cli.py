@@ -3,9 +3,12 @@
 import os
 
 import numpy as np
+import pytest
 
 from med_tpu.cli import resnet_finetune
 from med_tpu.data.trials import Trial, save_trial_npz
+
+pytestmark = pytest.mark.slow  # CLI / convergence tests; skip via -m 'not slow'
 
 
 def make_raw_fold(tmp_path, rng, n_trials=3, frames=16, hw=32):

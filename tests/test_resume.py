@@ -12,6 +12,8 @@ from med_tpu.train.checkpoint import load_train_state, save_train_state
 from med_tpu.train.loop import train_window_fold
 from tests.test_end_to_end import make_synth_fold
 
+pytestmark = pytest.mark.slow  # CLI / convergence tests; skip via -m 'not slow'
+
 
 def test_resume_matches_uninterrupted(tmp_path, rng):
     fold_dir = make_synth_fold(tmp_path, rng)
