@@ -4,6 +4,7 @@ dryrun_multichip executes a sharded training step on the 8-device CPU mesh."""
 import sys
 
 import jax
+import pytest
 
 pytestmark = pytest.mark.slow  # compile-heavy; skip via -m 'not slow'
 

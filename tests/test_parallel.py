@@ -5,6 +5,7 @@ analysis."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from med_tpu.config import ExperimentConfig
 from med_tpu.parallel import make_mesh, shard_batch, shard_state
