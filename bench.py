@@ -221,6 +221,25 @@ def main():
         cog_frames_per_sec = T / t_cog
         cog_flops = _loop_flops(make_cog_run, fbatch["images"])
 
+    # ---- COG train step (fused Pallas TCN stacks + attention custom VJP;
+    #      round-1 reference point: 33.8 ms at T=1024) ----
+    t_cog_train, cog_train_flops = -1.0, -1.0
+    if _budget_left():
+        cog_step = exp_cog._make_step(train=True)
+
+        def make_cog_train_run():
+            @jax.jit
+            def run(s):
+                return jax.lax.fori_loop(
+                    0, ITERS, lambda i, c: cog_step(c, fbatch)[0], s)
+
+            return run
+
+        t_cog_train = _timed_loop(make_cog_train_run,
+                                  exp_cog.init_state(jax.random.key(3), fbatch))
+        cog_train_flops = _loop_flops(make_cog_train_run,
+                                      exp_cog.init_state(jax.random.key(3), fbatch))
+
     # ---- end-to-end pixels -> fused preprocess -> ResNet-50 -> features
     #      -> FeatureExtractor -> window head (the BASELINE.json pipeline) ----
     from med_tpu.data.preprocessing import jax_preprocess_frames
@@ -280,6 +299,9 @@ def main():
             "cog_vs_baseline": round(cog_frames_per_sec / ref_cog_frames_per_sec, 2),
             "cog_ms_per_frame": round(t_cog / T * 1e3, 6),
             "ref_cog_ms_per_frame": 1.95,
+            "cog_train_step_ms": round(t_cog_train * 1e3, 3),
+            "cog_train_frames_per_sec": round(T / t_cog_train, 1) if t_cog_train > 0 else -1.0,
+            "cog_train_mfu": round(_mfu(cog_train_flops, t_cog_train), 4),
             "e2e_pixels_resnet_head_frames_per_sec": round(e2e_frames_per_sec, 1),
             "e2e_vs_baseline": round(e2e_vs_baseline, 2),
             "e2e_trunk_dtype": str(trunk.dtype.__name__ if hasattr(trunk.dtype, "__name__") else trunk.dtype),

@@ -52,6 +52,7 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
             out_classes=cfg.out_features,
             causal=cfg.mstcn_causal_conv,
             dtype=dtype,
+            fused="auto" if cfg.use_pallas else False,
         )
     if name == "TransSVNet":
         return TransSVNet(
@@ -78,6 +79,7 @@ def build_model(cfg: ExperimentConfig, prompt_path: Optional[str] = None):
             use_skill_prompt=cfg.use_skill_prompt,
             srm=cfg.SRM,
             dtype=dtype,
+            fused="auto" if cfg.use_pallas else False,
         )
     raise ValueError(f"model {name!r} is not supported")
 

@@ -45,7 +45,12 @@ import numpy as np
 
 from ..ops.attention import attend, layer_norm, sliding_window_attention
 from ..ops.interpolate import interp1d_linear
-from .layers import Conv1d, DilatedResidualLayer, torch_default_kernel
+from .layers import (
+    Conv1d,
+    DilatedResidualLayer,
+    run_residual_stack,
+    torch_default_kernel,
+)
 from .prompts import EMBED_DIM, GESTURES, load_prompt_embeddings
 from .transsvnet import PoswiseFFN
 
@@ -180,6 +185,7 @@ class COGStage(nn.Module):
     channel_dropout: bool = False
     use_input_conv: bool = True
     dtype: object = None
+    fused: object = "auto"   # fused Pallas stack: "auto" (TPU) | True | False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -190,11 +196,14 @@ class COGStage(nn.Module):
         if self.channel_dropout:
             # torch Dropout2d on (B, C, T, 1): zeroes whole channels
             out = nn.Dropout(0.5, broadcast_dims=(1,), deterministic=not train)(out)
-        for i in range(self.num_layers):
-            out = DilatedResidualLayer(
+        layers = [
+            DilatedResidualLayer(
                 self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
                 name=f"layer{i}"
-            )(out, train)
+            )
+            for i in range(self.num_layers)
+        ]
+        out = run_residual_stack(self, layers, out, train, self.causal, self.fused)
         logits = Conv1d(self.out_classes, 1, dtype=self.dtype,
                         name="conv_out")(out)
         # fp32 logits for losses / softmax refinement
@@ -232,6 +241,7 @@ class COG(nn.Module):
     use_skill_prompt: bool = False
     srm: bool = False
     dtype: object = None      # bfloat16 compute for the TCN/FPN paths
+    fused: object = "auto"    # fused Pallas TCN stacks: "auto" (TPU) | True | False
 
     def _prompt_texts(self):
         from .prompts import GESTURES_OBSERVED, SKILL_LEVEL_PROMPTS
@@ -295,14 +305,14 @@ class COG(nn.Module):
         # --- slow path ---
         f, _ = COGStage(
             self.num_layers_basic, self.f_maps, self.out_classes,
-            self.causal, channel_dropout=True, dtype=self.dtype, name="TCN",
+            self.causal, channel_dropout=True, dtype=self.dtype, fused=self.fused, name="TCN",
         )(xx, train)
         f_list = [f]
         for r in range(self.num_r):
             f, _ = COGStage(
                 self.num_layers_r, self.f_maps, self.out_classes,
                 self.causal, use_input_conv=False, dtype=self.dtype,
-                name=f"R{r}",
+                fused=self.fused, name=f"R{r}",
             )(f, train)
             f_list.append(f)
 
@@ -322,14 +332,14 @@ class COG(nn.Module):
         fast_f, fast_out = COGStage(
             self.num_layers_basic, self.f_maps, self.out_classes,
             self.causal, channel_dropout=True, dtype=self.dtype,
-            name="fast_stage1",
+            fused=self.fused, name="fast_stage1",
         )(fast, train)
         f_list.append(fast_f)
         out_list.append(fast_out)
         for r in range(self.num_r):
             fast_f, fast_out = COGStage(
                 self.num_layers_r, self.f_maps, self.out_classes,
-                self.causal, dtype=self.dtype, name=f"fast_R{r}",
+                self.causal, dtype=self.dtype, fused=self.fused, name=f"fast_R{r}",
             )(nn.softmax(fast_out, axis=-1), train)
             f_list.append(fast_f)
             out_list.append(fast_out)

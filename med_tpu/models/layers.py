@@ -149,12 +149,73 @@ class Conv1d(nn.Module):
         )(x)
 
 
+class _TapConvParams(nn.Module):
+    """Param holder + compute for one conv inside a residual block.
+
+    setup-style twin of :class:`_TapConv` with identical param names/shapes
+    (``kernel`` (K, I, O), ``bias`` (O,)) so checkpoints and the torch
+    importers are unaffected — but the params are *declared in setup*, which
+    lets a parent stack them for the fused Pallas kernel without calling the
+    layer (linen materializes setup params on attribute access).
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int
+
+    def setup(self):
+        fan_in = self.in_features * self.kernel_size
+        self.kernel = self.param(
+            "kernel", torch_default_kernel,
+            (self.kernel_size, self.in_features, self.features),
+        )
+        self.bias = self.param("bias", torch_default_bias(fan_in), (self.features,))
+
+    def __call__(self, x, dilation: int, pad: Tuple[int, int], dtype=None):
+        kernel, bias = self.kernel, self.bias
+        if dtype is not None:
+            x = x.astype(dtype)
+            kernel = kernel.astype(dtype)
+            bias = bias.astype(dtype)
+        left, right = pad
+        if left or right:
+            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+        k, d = self.kernel_size, dilation
+        t_out = x.shape[1] - d * (k - 1)
+        y = jnp.einsum("btc,co->bto", x[:, :t_out], kernel[0])
+        for j in range(1, k):
+            y = y + jnp.einsum(
+                "btc,co->bto", x[:, j * d : j * d + t_out], kernel[j]
+            )
+        return y + bias
+
+
+class _ConvScope(nn.Module):
+    """Preserves the historical ``<name>/Conv_0/{kernel,bias}`` param path
+    of :class:`Conv1d` while exposing the params for stacking."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+
+    def setup(self):
+        self.tap = _TapConvParams(
+            self.features, self.in_features, self.kernel_size, name="Conv_0"
+        )
+
+    def __call__(self, x, dilation: int, pad: Tuple[int, int], dtype=None):
+        return self.tap(x, dilation, pad, dtype)
+
+
 class DilatedResidualLayer(nn.Module):
     """Dilated temporal residual block (reference models_TCN.py:104-137).
 
     causal: left-pad ``2*dilation`` (the reference pads both sides and trims
     the right tail — equivalent); otherwise symmetric ``dilation`` padding.
     relu(dilated conv3) -> conv1 -> dropout(0.5) -> +residual.
+
+    setup-style so :func:`run_residual_stack` can read the conv params
+    without executing the layer (fused Pallas path).
     """
 
     channels: int
@@ -163,21 +224,63 @@ class DilatedResidualLayer(nn.Module):
     dropout_rate: float = 0.5
     dtype: object = None
 
-    @nn.compact
+    def setup(self):
+        self.conv_dilated = _ConvScope(
+            self.channels, self.channels, 3, name="conv_dilated"
+        )
+        self.conv_1x1 = _ConvScope(self.channels, self.channels, 1, name="conv_1x1")
+        self.drop = nn.Dropout(self.dropout_rate)
+
     def __call__(self, x, train: bool = False):
         pad = (
-            [(2 * self.dilation, 0)]
+            (2 * self.dilation, 0)
             if self.causal
-            else [(self.dilation, self.dilation)]
+            else (self.dilation, self.dilation)
         )
-        out = Conv1d(
-            self.channels, 3, dilation=self.dilation, padding=pad,
-            dtype=self.dtype, name="conv_dilated"
-        )(x)
+        out = self.conv_dilated(x, self.dilation, pad, self.dtype)
         out = nn.relu(out)
-        out = Conv1d(self.channels, 1, dtype=self.dtype, name="conv_1x1")(out)
-        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        out = self.conv_1x1(out, 1, (0, 0), self.dtype)
+        out = self.drop(out, deterministic=not train)
         return x + out
+
+
+def run_residual_stack(parent: nn.Module, layers, x, train: bool,
+                       causal: bool, fused) -> jnp.ndarray:
+    """Run a list of :class:`DilatedResidualLayer` (dilations 2^i) over
+    ``x`` (B, T, C) — fused into one Pallas kernel per direction on TPU
+    (:mod:`med_tpu.ops.tcn_fused`), per-layer modules otherwise.
+
+    ``fused``: "auto" (TPU only), True (force; interpret mode off-TPU — used
+    by the CPU parity tests), or False. The fused path requires fp32 compute
+    and B == 1 (the frame-family regime, reference modeling_utils.py:1464).
+    """
+    use_fused = (fused is True) or (
+        fused == "auto" and jax.default_backend() == "tpu"
+    )
+    rate = layers[0].dropout_rate
+    # the kernel hardcodes the 1/keep = 2.0 dropout scale and fp32 compute
+    use_fused = use_fused and (rate in (0.0, 0.5)) and layers[0].dtype is None
+    if use_fused and x.shape[0] == 1:
+        from ..ops.tcn_fused import dilated_residual_stack
+
+        w3 = jnp.stack([l.conv_dilated.tap.kernel for l in layers])
+        b3 = jnp.stack([l.conv_dilated.tap.bias for l in layers])
+        w1 = jnp.stack([l.conv_1x1.tap.kernel[0] for l in layers])
+        b1 = jnp.stack([l.conv_1x1.tap.bias for l in layers])
+        mask = None
+        if train and rate > 0.0:
+            L = len(layers)
+            T, C = x.shape[1], x.shape[2]
+            mask = jax.random.bernoulli(
+                parent.make_rng("dropout"), 1.0 - rate, (L, T, C)
+            ).astype(jnp.uint8)
+        out = dilated_residual_stack(
+            x[0], w3, b3, w1, b1, causal=causal, mask=mask
+        )
+        return out[None]
+    for l in layers:
+        x = l(x, train)
+    return x
 
 
 class SingleStageTCN(nn.Module):
@@ -193,17 +296,21 @@ class SingleStageTCN(nn.Module):
     out_classes: int
     causal: bool = True
     dtype: object = None
+    fused: object = "auto"   # fused Pallas stack: "auto" (TPU) | True | False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.dtype is not None:
             x = x.astype(self.dtype)
         out = Conv1d(self.f_maps, 1, dtype=self.dtype, name="conv_in")(x)
-        for i in range(self.num_layers):
-            out = DilatedResidualLayer(
+        layers = [
+            DilatedResidualLayer(
                 self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
                 name=f"layer{i}"
-            )(out, train)
+            )
+            for i in range(self.num_layers)
+        ]
+        out = run_residual_stack(self, layers, out, train, self.causal, self.fused)
         logits = Conv1d(self.out_classes, 1, dtype=self.dtype, name="conv_out")(out)
         # logits in fp32 for stable losses/softmax refinement
         return out, logits.astype(jnp.float32)

@@ -23,13 +23,14 @@ class TeCNo(nn.Module):
     out_classes: int = 2
     causal: bool = True
     dtype: object = None      # bfloat16 compute (params stay fp32)
+    fused: object = "auto"    # fused Pallas TCN stacks: "auto" (TPU) | True | False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T, in_dim) -> (num_stages, B, T, out_classes)."""
         _, logits = SingleStageTCN(
             self.num_layers, self.f_maps, self.out_classes, self.causal,
-            dtype=self.dtype, name="stage0"
+            dtype=self.dtype, fused=self.fused, name="stage0"
         )(x, train)
         outputs = [logits]
         for s in range(1, self.num_stages):
@@ -39,6 +40,7 @@ class TeCNo(nn.Module):
                 self.out_classes,
                 self.causal,
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"stage{s}",
             )(nn.softmax(logits, axis=-1), train)
             outputs.append(logits)

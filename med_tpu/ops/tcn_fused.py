@@ -1,0 +1,393 @@
+"""Fused dilated-residual TCN stack (the COG/TeCNo hot path).
+
+A TCN stage (reference models_TCN.py:76-165, models_COG.py:SingleStageModel1)
+is ``num_layers`` dilated residual blocks, each
+
+    h_{i+1} = h_i + dropout( W1 · relu( dconv3_{2^i}(h_i) + b3 ) + b1 )
+
+at 64 channels. Per block that is 4 tiny matmuls plus elementwise glue; a
+COG training step runs 82 blocks (slow 11+3x10 at T, fast 11+3x10 at T/16)
+forward *and* backward, so the step is latency-bound on op count, not FLOPs
+(round-1 measurement: 33.8 ms/step at T=1024 while the matmul work is
+~4 GFLOP ≈ 0.1 ms of MXU time).
+
+This module collapses one whole stage into ONE Pallas kernel per direction:
+
+- forward: ``grid=(L,)`` — TPU grids run sequentially, so the activation is
+  carried across layers in a VMEM scratch buffer padded by ±2·d_max rows of
+  zeros; each dilated tap is a dynamic-start row slice of that buffer feeding
+  a (T, C)x(C, C) MXU matmul. Dilations are the MS-TCN 2^i schedule, derived
+  in-kernel from the grid index (no SMEM tables).
+- backward: a second ``grid=(L,)`` kernel walking layers in reverse. It
+  re-materializes relu(dconv(h_l)) from the saved per-layer inputs (cheaper
+  than saving activations: keeps the double-buffered VMEM footprint at
+  T=6144 under budget), accumulates per-layer dW3/db3/dW1/db1 into their
+  output blocks, and carries dh in scratch.
+- dropout: masks are Bernoulli(keep=0.5) uint8 planes precomputed by the
+  caller (one fused XLA rng op) and passed as an input, so the same mask is
+  seen by forward and backward by construction and the kernel stays
+  runnable in interpret mode (pltpu.prng_* has no CPU lowering).
+
+The custom VJP uses a save-free primal (inference does not write residuals)
+and a saving forward for autodiff. ``dilated_stack_xla`` is the lax-level
+oracle used by the CPU tests.
+
+Shapes:  x (T, C);  w3 (L, 3, C, C);  b3 (L, C);  w1 (L, C, C);  b1 (L, C);
+mask (L, T, C) uint8 or None.  Layer i uses dilation 2**i.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only namespace; present in all recent jax
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _shifts(d, causal: bool):
+    """Per-tap input delays: out[t] = sum_j x[t - s_j] @ W_j.
+
+    causal: left-pad 2d (reference models_TCN.py:110-118) -> s = (2d, d, 0);
+    acausal: symmetric pad d -> s = (d, 0, -d).
+    """
+    if causal:
+        return (2 * d, d, 0 * d)
+    return (d, 0 * d, -d)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(*refs, causal: bool, pad: int, use_mask: bool, save: bool):
+    """One grid step = one dilated residual layer.
+
+    refs: x, w3, b3, w1, b1 [, mask], h_out [, h_saved], hp_scratch.
+    hp scratch rows: [0, pad) zeros | [pad, pad+T) h | [pad+T, pad+2T?) zeros.
+    """
+    if use_mask:
+        x_ref, w3_ref, b3_ref, w1_ref, b1_ref, mask_ref = refs[:6]
+        outs = refs[6:-1]
+    else:
+        x_ref, w3_ref, b3_ref, w1_ref, b1_ref = refs[:5]
+        outs = refs[5:-1]
+    if save:
+        h_out_ref, h_saved_ref = outs
+    else:
+        (h_out_ref,) = outs
+    hp_ref = refs[-1]
+
+    T, C = x_ref.shape
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hp_ref[pl.ds(0, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad + T, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad, T)] = x_ref[:]
+
+    h = hp_ref[pl.ds(pad, T)]
+    if save:
+        h_saved_ref[0] = h
+
+    d = jnp.int32(1) << i
+    acc = b3_ref[0]  # (1, C) broadcasts over (T, C)
+    for j, s in enumerate(_shifts(d, causal)):
+        acc = acc + jax.lax.dot_general(
+            hp_ref[pl.ds(pad - s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.maximum(acc, 0.0)
+    z = jax.lax.dot_general(
+        y, w1_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b1_ref[0]
+    if use_mask:
+        # uint8 -> int32 -> f32: Mosaic has no direct u8->f32 cast
+        z = z * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
+    hn = h + z
+    hp_ref[pl.ds(pad, T)] = hn
+    h_out_ref[:] = hn
+
+
+def _fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, save: bool,
+              interpret: bool):
+    L, _, C, _ = w3.shape
+    T = x.shape[0]
+    pad = 2 ** L  # covers the max tap delay 2 * 2^(L-1) on both sides
+
+    in_arrays = [x, w3, b3.reshape(L, 1, C), w1, b1.reshape(L, 1, C)]
+    in_specs = [
+        pl.BlockSpec((T, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3, C, C), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, C, C), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
+    ]
+    if mask is not None:
+        in_arrays.append(mask)
+        in_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+
+    out_shape = [jax.ShapeDtypeStruct((T, C), jnp.float32)]
+    out_specs = [pl.BlockSpec((T, C), lambda i: (0, 0))]
+    if save:
+        out_shape.append(jax.ShapeDtypeStruct((L, T, C), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal, pad=pad,
+                          use_mask=mask is not None, save=save),
+        grid=(L,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((pad + T + pad, C), jnp.float32)],
+        interpret=interpret,
+    )(*in_arrays)
+    return out if save else out[0]
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(*refs, causal: bool, pad: int, L: int, use_mask: bool):
+    """Grid step i processes layer l = L-1-i.
+
+    refs: g, h_saved, w3, b3, w1 [, mask],
+          dx, dw3, db3, dw1, db1, dh_scr, hp_scr, ap_scr.
+    """
+    if use_mask:
+        g_ref, h_ref, w3_ref, b3_ref, w1_ref, mask_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        g_ref, h_ref, w3_ref, b3_ref, w1_ref = refs[:5]
+        rest = refs[5:]
+    dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dh_scr, hp_scr, ap_scr = rest
+
+    T, C = g_ref.shape
+    i = pl.program_id(0)
+    l = (L - 1) - i
+    d = jnp.int32(1) << l
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = g_ref[:]
+        zeros = jnp.zeros((pad, C), jnp.float32)
+        hp_scr[pl.ds(0, pad)] = zeros
+        hp_scr[pl.ds(pad + T, pad)] = zeros
+        ap_scr[pl.ds(0, pad)] = zeros
+        ap_scr[pl.ds(pad + T, pad)] = zeros
+
+    dh_out = dh_scr[:]
+    h = h_ref[0]
+    hp_scr[pl.ds(pad, T)] = h
+
+    shifts = _shifts(d, causal)
+
+    # recompute y = relu(dconv(h) + b3)
+    acc = b3_ref[0]
+    for j, s in enumerate(shifts):
+        acc = acc + jax.lax.dot_general(
+            hp_scr[pl.ds(pad - s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.maximum(acc, 0.0)
+
+    dz = (
+        dh_out * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
+        if use_mask else dh_out
+    )
+    # dW1[a,b] = sum_t y[t,a] dz[t,b] ; dy = dz @ W1^T
+    dw1_ref[0] = jax.lax.dot_general(
+        y, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+    )
+    db1_ref[0] = jnp.sum(dz, axis=0, keepdims=True)
+    dy = jax.lax.dot_general(
+        dz, w1_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+    )
+    da = jnp.where(y > 0.0, dy, 0.0)
+    db3_ref[0] = jnp.sum(da, axis=0, keepdims=True)
+
+    ap_scr[pl.ds(pad, T)] = da
+    dhc = dh_out
+    for j, s in enumerate(shifts):
+        # dW3_j[a,b] = sum_t h[t-s,a] da[t,b]
+        dw3_ref[0, j] = jax.lax.dot_general(
+            hp_scr[pl.ds(pad - s, T)], da,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # dh[u] += da[u+s] @ W3_j^T
+        dhc = dhc + jax.lax.dot_general(
+            ap_scr[pl.ds(pad + s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    dh_scr[:] = dhc
+    dx_ref[:] = dhc
+
+
+def _bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, interpret: bool):
+    L, _, C, _ = w3.shape
+    T = g.shape[0]
+    pad = 2 ** L
+
+    rev = lambda i: (L - 1 - i, 0, 0)  # noqa: E731
+    rev4 = lambda i: (L - 1 - i, 0, 0, 0)  # noqa: E731
+
+    in_arrays = [g, h_saved, w3, b3.reshape(L, 1, C), w1]
+    in_specs = [
+        pl.BlockSpec((T, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, T, C), rev),
+        pl.BlockSpec((1, 3, C, C), rev4),
+        pl.BlockSpec((1, 1, C), rev),
+        pl.BlockSpec((1, C, C), rev),
+    ]
+    if mask is not None:
+        in_arrays.append(mask)
+        in_specs.append(pl.BlockSpec((1, T, C), rev))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((T, C), jnp.float32),      # dx
+        jax.ShapeDtypeStruct((L, 3, C, C), jnp.float32),  # dw3
+        jax.ShapeDtypeStruct((L, 1, C), jnp.float32),   # db3
+        jax.ShapeDtypeStruct((L, C, C), jnp.float32),   # dw1
+        jax.ShapeDtypeStruct((L, 1, C), jnp.float32),   # db1
+    )
+    out_specs = (
+        pl.BlockSpec((T, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3, C, C), rev4),
+        pl.BlockSpec((1, 1, C), rev),
+        pl.BlockSpec((1, C, C), rev),
+        pl.BlockSpec((1, 1, C), rev),
+    )
+    dx, dw3, db3, dw1, db1 = pl.pallas_call(
+        functools.partial(_bwd_kernel, causal=causal, pad=pad, L=L,
+                          use_mask=mask is not None),
+        grid=(L,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((T, C), jnp.float32),
+            pltpu.VMEM((pad + T + pad, C), jnp.float32),
+            pltpu.VMEM((pad + T + pad, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*in_arrays)
+    return dx, dw3, db3.reshape(L, C), dw1, db1.reshape(L, C)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP entry points
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_train(causal, interpret, x, w3, b3, w1, b1, mask):
+    return _fwd_call(x, w3, b3, w1, b1, mask, causal=causal, save=False,
+                     interpret=interpret)
+
+
+def _fused_train_fwd(causal, interpret, x, w3, b3, w1, b1, mask):
+    h_out, h_saved = _fwd_call(x, w3, b3, w1, b1, mask, causal=causal,
+                               save=True, interpret=interpret)
+    return h_out, (h_saved, w3, b3, w1, mask)
+
+
+def _fused_train_bwd(causal, interpret, res, g):
+    h_saved, w3, b3, w1, mask = res
+    dx, dw3, db3, dw1, db1 = _bwd_call(g, h_saved, w3, b3, w1, mask,
+                                       causal=causal, interpret=interpret)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dx, dw3, db3, dw1, db1, dmask
+
+
+_fused_train.defvjp(_fused_train_fwd, _fused_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_eval(causal, interpret, x, w3, b3, w1, b1):
+    return _fwd_call(x, w3, b3, w1, b1, None, causal=causal, save=False,
+                     interpret=interpret)
+
+
+def _fused_eval_fwd(causal, interpret, x, w3, b3, w1, b1):
+    h_out, h_saved = _fwd_call(x, w3, b3, w1, b1, None, causal=causal,
+                               save=True, interpret=interpret)
+    return h_out, (h_saved, w3, b3, w1)
+
+
+def _fused_eval_bwd(causal, interpret, res, g):
+    h_saved, w3, b3, w1 = res
+    return _bwd_call(g, h_saved, w3, b3, w1, None, causal=causal,
+                     interpret=interpret)
+
+
+_fused_eval.defvjp(_fused_eval_fwd, _fused_eval_bwd)
+
+
+def dilated_residual_stack(x, w3, b3, w1, b1, *, causal: bool = True,
+                           mask=None, interpret=None):
+    """Run a whole dilated-residual stack as one fused kernel per direction.
+
+    x (T, C) float32; layer i uses dilation 2**i. ``mask`` is the per-layer
+    Bernoulli(0.5) keep mask (L, T, C) uint8 (train) or None (eval).
+    ``interpret=None`` auto-selects interpret mode off-TPU so the same code
+    path is exercised by the CPU tests.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x = x.astype(jnp.float32)
+    if mask is None:
+        return _fused_eval(causal, interpret, x, w3, b3, w1, b1)
+    return _fused_train(causal, interpret, x, w3, b3, w1, b1, mask)
+
+
+# ---------------------------------------------------------------------------
+# lax-level oracle (CPU fallback / tests)
+# ---------------------------------------------------------------------------
+
+
+def dilated_stack_xla(x, w3, b3, w1, b1, *, causal: bool = True, mask=None):
+    """Reference semantics of the fused kernel, one layer at a time."""
+    L = w3.shape[0]
+    h = x.astype(jnp.float32)
+    T = h.shape[0]
+    for i in range(L):
+        d = 2 ** i
+        acc = b3[i][None, :]
+        for j, s in enumerate(_shifts(d, causal)):
+            if s >= 0:
+                shifted = jnp.pad(h, ((s, 0), (0, 0)))[:T]
+            else:
+                shifted = jnp.pad(h, ((0, -s), (0, 0)))[-s:]
+            acc = acc + shifted @ w3[i, j]
+        y = jnp.maximum(acc, 0.0)
+        z = y @ w1[i] + b1[i][None, :]
+        if mask is not None:
+            z = z * (mask[i].astype(jnp.float32) * 2.0)
+        h = h + z
+    return h

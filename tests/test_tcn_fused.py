@@ -1,0 +1,115 @@
+"""Fused dilated-residual TCN stack (ops/tcn_fused.py) vs the per-layer
+module path: op-level forward/gradient parity against the lax oracle, and
+module-level parity (COGStage / TeCNo) between fused=True (interpret mode on
+CPU) and fused=False, including gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from med_tpu.models.cog import COGStage
+from med_tpu.models.tcn import TeCNo
+from med_tpu.ops.tcn_fused import dilated_residual_stack, dilated_stack_xla
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _op_inputs(rng, L=5, T=96, C=16):
+    x = jnp.asarray(rng.normal(size=(T, C)), jnp.float32)
+    w3 = jnp.asarray(rng.normal(size=(L, 3, C, C)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.normal(size=(L, C)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(L, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(L, C)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(L, T, C)), jnp.uint8)
+    return x, w3, b3, w1, b1, mask
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_forward_matches_oracle(rng, causal, use_mask):
+    x, w3, b3, w1, b1, mask = _op_inputs(rng)
+    m = mask if use_mask else None
+    got = dilated_residual_stack(x, w3, b3, w1, b1, causal=causal, mask=m)
+    want = dilated_stack_xla(x, w3, b3, w1, b1, causal=causal, mask=m)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_grad_matches_oracle(rng, use_mask):
+    x, w3, b3, w1, b1, mask = _op_inputs(rng)
+    m = mask if use_mask else None
+    probe = jnp.cos(jnp.arange(x.size).reshape(x.shape) * 0.01)
+
+    def loss(fn):
+        def f(x, w3, b3, w1, b1):
+            return jnp.sum(fn(x, w3, b3, w1, b1, causal=True, mask=m) * probe)
+        return f
+
+    got = jax.grad(loss(dilated_residual_stack), argnums=(0, 1, 2, 3, 4))(
+        x, w3, b3, w1, b1)
+    want = jax.grad(loss(dilated_stack_xla), argnums=(0, 1, 2, 3, 4))(
+        x, w3, b3, w1, b1)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("channel_dropout", [False, True])
+def test_cogstage_fused_matches_module_path(rng, channel_dropout):
+    """COGStage(fused=True) == COGStage(fused=False): same params (the fused
+    path reads the per-layer param tree), same eval logits, same grads."""
+    x = jnp.asarray(rng.normal(size=(1, 64, 24)), jnp.float32)
+    kw = dict(num_layers=4, f_maps=16, out_classes=3, causal=True,
+              channel_dropout=channel_dropout)
+    fused = COGStage(**kw, fused=True)
+    plain = COGStage(**kw, fused=False)
+
+    v1 = fused.init(jax.random.PRNGKey(0), x, False)
+    v2 = plain.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(a, b)
+
+    f1, l1 = fused.apply(v1, x, False)
+    f2, l2 = plain.apply(v1, x, False)
+    np.testing.assert_allclose(f1, f2, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6, atol=1e-6)
+
+    def loss(mod):
+        def f(params):
+            _, logits = mod.apply(params, x, False)
+            return jnp.sum(logits ** 2)
+        return f
+
+    g1 = jax.grad(loss(fused))(v1)
+    g2 = jax.grad(loss(plain))(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_cogstage_fused_train_dropout_runs(rng):
+    """The fused train path (uint8 mask input) runs and actually drops."""
+    x = jnp.asarray(rng.normal(size=(1, 64, 24)), jnp.float32)
+    mod = COGStage(num_layers=3, f_maps=16, out_classes=2, fused=True)
+    v = mod.init(jax.random.PRNGKey(0), x, False)
+    f_eval, _ = mod.apply(v, x, False)
+    f_tr, _ = mod.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert f_tr.shape == f_eval.shape
+    assert not np.allclose(f_tr, f_eval)
+    # two different rng keys -> different masks
+    f_tr2, _ = mod.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(f_tr, f_tr2)
+
+
+def test_tecno_fused_matches_module_path(rng):
+    x = jnp.asarray(rng.normal(size=(1, 64, 32)), jnp.float32)
+    kw = dict(num_stages=2, num_layers=4, f_maps=16, in_dim=32, out_classes=3)
+    fused = TeCNo(**kw, fused=True)
+    plain = TeCNo(**kw, fused=False)
+    v = fused.init(jax.random.PRNGKey(0), x, False)
+    np.testing.assert_allclose(
+        fused.apply(v, x, False), plain.apply(v, x, False),
+        rtol=1e-6, atol=1e-6)
