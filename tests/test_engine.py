@@ -53,6 +53,7 @@ def test_window_mask_excludes_padding(rng):
     assert int(np.asarray(ev["cm"]).sum()) == 4
 
 
+@pytest.mark.slow
 def test_window_es_six_class(rng):
     cfg = ExperimentConfig(
         model_name="SimpleLSTM", error_type="all_errors", out_features=6,

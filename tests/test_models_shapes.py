@@ -102,6 +102,7 @@ def test_transsvnet():
     assert out.shape == (1, 77, 2)
 
 
+@pytest.mark.slow
 def test_cog():
     cfg = ExperimentConfig(
         model_name="COG", dataset_type="frame", data_type="multimodal",
@@ -160,6 +161,7 @@ def test_cog_causality():
     np.testing.assert_allclose(out1[0][0, :60], out2[0][0, :60], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cog_variants(rng):
     """SRM and skill-prompt COG variants (reference models_COG.py:262-480)."""
     base = dict(
@@ -192,6 +194,7 @@ def test_cog_variants(rng):
     assert v["constants"]["gest_embed"].shape == (8, 512)
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype(rng):
     """compute_dtype='bfloat16' runs the TCN paths in bf16 with fp32 params
     and fp32 logits, staying close to the fp32 forward."""

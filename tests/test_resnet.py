@@ -13,6 +13,7 @@ from med_tpu.models.resnet import (
 )
 
 
+@pytest.mark.slow
 def test_resnet_classifier_shapes(rng):
     # tiny stage config to keep CPU time low; same code path as (3,4,6,3)
     model = ResNetClassifier(stage_sizes=(1, 1, 1, 1), width=8)
