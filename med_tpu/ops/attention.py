@@ -101,64 +101,57 @@ def sliding_window_attention_xla(q, k, v, window: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _swa_kernel(q_ref, k_ref, v_ref, o_ref, *, window: int, tile: int):
-    """One (head, time-tile) cell of the banded local attention.
+def _band_softmax(scores, m, window):
+    """Banded softmax numerator over a (rows, halo) score tile.
 
-    Block shapes (leading (1, 1) head/tile dims collapse on reshape):
-      q_ref: (1, 1, tile, M, dk)            queries of the tile, one head
-      k_ref: (1, 1, tile + window - 1, dk)  keys incl. left halo
-      v_ref: (1, 1, tile + window - 1, dv)
-      o_ref: (1, 1, tile, M, dv)
-
-    Frame i of the tile attends to halo rows [i, i + window); banded masking
-    keeps exactly those. The zero halo rows reproduce the reference's
-    zero-key windows for the first frames of the sequence.
+    Rows enumerate (frame, token) pairs of the tile (frame = row // m); row r
+    attends halo columns [frame, frame + window). Returns the masked
+    exponentials ``p`` and the band mask. 2D iota masking keeps the whole
+    kernel in aligned (sublane, lane) layouts — no 3D reshapes/relayouts.
     """
-    m = q_ref.shape[-2]
-    dk = q_ref.shape[-1]
-    dv = v_ref.shape[-1]
-    halo = tile + window - 1
-
-    q = q_ref[:].reshape(tile * m, dk)
-    kk = k_ref[:].reshape(halo, dk)
-    vv = v_ref[:].reshape(halo, dv)
-    # (tile*M, halo) banded scores on the MXU.
-    scores = jax.lax.dot_general(
-        q, kk,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk)
-    scores = scores.reshape(tile, m, halo)
-
-    frame = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 2)
+    rows, halo = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, halo), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, halo), 1)
+    frame = row // m
     in_band = (col >= frame) & (col < frame + window)
     neg = jnp.finfo(scores.dtype).min
-    scores = jnp.where(in_band, scores, neg)
+    smax = jnp.max(jnp.where(in_band, scores, neg), axis=-1, keepdims=True)
+    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+    return p, in_band
 
-    smax = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - smax)
-    p = jnp.where(in_band, p, 0.0)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    attn = (p / denom).reshape(tile * m, halo)
 
+def _swa_kernel(q_ref, k_ref, v_ref, o_ref, *, window: int, tile: int, m: int):
+    """One (head, time-tile) cell of the banded local attention.
+
+    Block shapes:
+      q_ref: (1, tile*M, dk)  queries of the tile, one head, token-flattened
+      k_ref: (1, Tp + window - 1, dk)  the FULL padded key sequence — its
+             index_map is constant in the tile axis, so Mosaic keeps it
+             VMEM-resident across the tile sweep; the per-tile halo
+             [t*tile, t*tile + tile + window - 1) is a dynamic-start slice
+      v_ref: (1, Tp + window - 1, dv)  same for values
+      o_ref: (1, tile*M, dv)
+
+    The zero halo rows at the left edge reproduce the reference's zero-key
+    windows for the first frames of the sequence.
+    """
+    i = pl.program_id(1)
+    dk = q_ref.shape[-1]
+    halo = tile + window - 1
+    q = q_ref[0]                                   # (tile*m, dk)
+    kk = k_ref[0, pl.ds(i * tile, halo), :]        # (halo, dk)
+    vv = v_ref[0, pl.ds(i * tile, halo), :]        # (halo, dv)
+    scores = jax.lax.dot_general(
+        q, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk)                              # (tile*m, halo)
+    p, _ = _band_softmax(scores, m, window)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        attn, vv,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        attn, vv, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
-
-
-def _halo_tiles(x: jnp.ndarray, tile: int, halo: int) -> jnp.ndarray:
-    """(Tp + window - 1, ...) -> (n_tiles, halo, ...) overlapping tile views.
-
-    One contiguous copy (≈(1 + window/tile)× the input) instead of the
-    full (T, window, ...) window materialization (window× blowup).
-    """
-    n_tiles = (x.shape[0] - (halo - tile)) // tile
-    idx = np.arange(n_tiles)[:, None] * tile + np.arange(halo)[None, :]
-    return x[jnp.asarray(idx)]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret"))
@@ -169,202 +162,160 @@ def sliding_window_attention_pallas(
     T, H, M, dk = q.shape
     dv = v.shape[-1]
     Tp = ((T + tile - 1) // tile) * tile
-    halo = tile + window - 1
+    n_tiles = Tp // tile
+    Tpw = Tp + window - 1
 
     # Left halo of zeros implements the reference's zero-key windows; right
     # pad rounds T up to the tile grid (padded frames are discarded).
-    kp = jnp.pad(k, ((window - 1, Tp - T), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((window - 1, Tp - T), (0, 0), (0, 0)))
-    qp = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
-
-    n_tiles = Tp // tile
-    # Head-major, per-tile halo'd K/V so every grid cell reads one block.
-    qp = qp.transpose(1, 0, 2, 3).reshape(H, n_tiles, tile, M, dk)
-    kh = _halo_tiles(kp, tile, halo).transpose(2, 0, 1, 3)  # (H, n_tiles, halo, dk)
-    vh = _halo_tiles(vp, tile, halo).transpose(2, 0, 1, 3)
+    qh = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
+    qh = qh.transpose(1, 0, 2, 3).reshape(H, Tp * M, dk)
+    kh = jnp.pad(k, ((window - 1, Tp - T), (0, 0), (0, 0))).transpose(1, 0, 2)
+    vh = jnp.pad(v, ((window - 1, Tp - T), (0, 0), (0, 0))).transpose(1, 0, 2)
 
     out = pl.pallas_call(
-        functools.partial(_swa_kernel, window=window, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((H, n_tiles, tile, M, dv), q.dtype),
+        functools.partial(_swa_kernel, window=window, tile=tile, m=M),
+        out_shape=jax.ShapeDtypeStruct((H, Tp * M, dv), q.dtype),
         grid=(H, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, tile, M, dk), lambda h, t: (h, t, 0, 0, 0)),
-            pl.BlockSpec((1, 1, halo, dk), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, halo, dv), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, tile * M, dk), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, Tpw, dk), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((1, Tpw, dv), lambda h, t: (h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile, M, dv), lambda h, t: (h, t, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, tile * M, dv), lambda h, t: (h, t, 0)),
         interpret=interpret,
-    )(qp, kh, vh)
-    out = out.reshape(H, Tp, M, dv).transpose(1, 0, 2, 3)
-    return out[:T]
+    )(qh, kh, vh)
+    return out.reshape(H, Tp, M, dv).transpose(1, 0, 2, 3)[:T]
 
 
 # ---------------------------------------------------------------------------
-# Pallas backward kernels
+# Pallas backward: ONE merged kernel per (head, key-tile) producing dq, dk
+# and dv together, so the banded softmax is recomputed once (round 1 ran two
+# kernels — dq-tiled and dkv-tiled — and recomputed it twice).
 #
 # Given g = dOut, with a = softmax(banded scores) recomputed in-kernel:
 #   da = g·V_winᵀ,  ds = a ∘ (da − rowsum(da ∘ a)) / √dk
-#   dQ_t = ds_t · K_win(t)                       (query-banded, like forward)
+#   dQ_t = ds_t · K_win(t)                       (query-banded)
 #   dK_j = Σ_{t: j ∈ win(t)} ds_t[·, j]ᵀ q_t     (key-banded, transposed)
 #   dV_j = Σ_{t: j ∈ win(t)} a_t[·, j]ᵀ  g_t
-# Both reductions become single MXU contractions over union-indexed banded
-# score tensors, so the whole backward is fused with no (T, W, d) gathers.
+# For key tile [k0, k0+tile): the contributing queries are exactly
+# [k0, k0+tile+W-1) (the extended query block), whose own key bands lie in
+# the union axis [k0-W+1, k0+tile+W-1). dq for queries [k0, k0+tile) is a
+# by-product of the same banded ds, so all three grads share one recompute.
 # ---------------------------------------------------------------------------
 
 
-def _banded_a_ds(q, kk, vv, g, window, tile, halo):
-    """Shared backward prelude: banded a and ds over the union keys.
+def _swa_bwd_kernel(q_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, *,
+                    window: int, tile: int, m: int):
+    """Merged backward for one (head, key-tile) cell.
 
-    q (tile*M, dk) queries; kk/vv (halo, d) union keys/values; g (tile*M, dv).
-    Returns a, ds of shape (tile, M, halo).
+    q_ref/g_ref: (1, 1, qtile*M, d) extended query block [k0, k0+tile+W-1)
+    k_ref/v_ref: (1, Tp+2W-2, d) full padded sequences (VMEM-resident)
+    dq_ref: (1, tile*M, dk) grads for queries [k0, k0+tile)
+    dk_ref/dv_ref: (1, tile, d) grads for keys [k0, k0+tile)
     """
-    m = g.shape[0] // tile
-    dk = q.shape[-1]
+    i = pl.program_id(1)
+    dk_d = q_ref.shape[-1]
+    qtile = tile + window - 1
+    qhalo = qtile + window - 1              # union key axis
+    q = q_ref[0, 0]                         # (qtile*m, dk)
+    g = g_ref[0, 0]                         # (qtile*m, dv)
+    kk = k_ref[0, pl.ds(i * tile, qhalo), :]
+    vv = v_ref[0, pl.ds(i * tile, qhalo), :]
+
     scores = jax.lax.dot_general(
         q, kk, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk)
-    scores = scores.reshape(tile, m, halo)
-    frame = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, m, halo), 2)
-    in_band = (col >= frame) & (col < frame + window)
-    neg = jnp.finfo(scores.dtype).min
-    smax = jnp.max(jnp.where(in_band, scores, neg), axis=-1, keepdims=True)
-    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-    a = p / jnp.sum(p, axis=-1, keepdims=True)
+    ) / math.sqrt(dk_d)
+    p, in_band = _band_softmax(scores, m, window)
+    a = p / jnp.sum(p, axis=-1, keepdims=True)     # (qtile*m, qhalo)
 
     da = jax.lax.dot_general(
         g, vv, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(tile, m, halo)
+    )
     da = jnp.where(in_band, da, 0.0)
-    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True)) / math.sqrt(dk)
-    return a, ds
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True)) / math.sqrt(dk_d)
 
-
-def _swa_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, *, window, tile):
-    m = q_ref.shape[-2]
-    dk = q_ref.shape[-1]
-    halo = tile + window - 1
-    q = q_ref[:].reshape(tile * m, dk)
-    kk = k_ref[:].reshape(halo, dk)
-    vv = v_ref[:].reshape(halo, v_ref.shape[-1])
-    g = g_ref[:].reshape(tile * m, v_ref.shape[-1])
-    _, ds = _banded_a_ds(q, kk, vv, g, window, tile, halo)
     dq = jax.lax.dot_general(
-        ds.reshape(tile * m, halo), kk,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        ds, kk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (qtile*m, dk)
+    dq_ref[0] = dq[: tile * m].astype(dq_ref.dtype)
+
+    dk_union = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (qhalo, dk)
+    dv_union = jax.lax.dot_general(
+        a, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[:] = dq.reshape(dq_ref.shape).astype(dq_ref.dtype)
+    dk_ref[0] = dk_union[window - 1: window - 1 + tile].astype(dk_ref.dtype)
+    dv_ref[0] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
 
 
-def _swa_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, dk_ref, dv_ref, *,
-                        window, tile):
-    """Key-tile gradients. Queries t ∈ [k0, k0+tile+window-1) contribute to
-    keys [k0, k0+tile); the union key axis spans [k0-window+1,
-    k0+tile+window-1) and outputs are its middle ``tile`` rows."""
-    m = q_ref.shape[-2]
-    dk_dim = q_ref.shape[-1]
-    dv_dim = v_ref.shape[-1]
-    qtile = tile + window - 1          # extended query block
-    halo = qtile + window - 1          # union key axis
-    q = q_ref[:].reshape(qtile * m, dk_dim)
-    kk = k_ref[:].reshape(halo, dk_dim)
-    vv = v_ref[:].reshape(halo, dv_dim)
-    g = g_ref[:].reshape(qtile * m, dv_dim)
-    a, ds = _banded_a_ds(q, kk, vv, g, window, qtile, halo)
-
-    # dK_union = Σ_t ds[t]ᵀ q_t ; dV_union = Σ_t a[t]ᵀ g_t  (one contraction)
-    dk_union = jax.lax.dot_general(
-        ds.reshape(qtile * m, halo), q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (halo, dk)
-    dv_union = jax.lax.dot_general(
-        a.reshape(qtile * m, halo), g,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (halo, dv)
-    sl = slice(window - 1, window - 1 + tile)
-    dk_ref[:] = dk_union[sl].reshape(dk_ref.shape).astype(dk_ref.dtype)
-    dv_ref[:] = dv_union[sl].reshape(dv_ref.shape).astype(dv_ref.dtype)
+def _halo_stack(x: jnp.ndarray, tile: int, halo: int) -> jnp.ndarray:
+    """(N, ...) -> (n, halo, ...) overlapping tile views via static slices
+    (XLA fuses the slice+stack into copies; no gather)."""
+    n = (x.shape[0] - (halo - tile)) // tile
+    return jnp.stack(
+        [jax.lax.slice_in_dim(x, i * tile, i * tile + halo, axis=0)
+         for i in range(n)]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret"))
 def sliding_window_attention_bwd_pallas(
     q, k, v, g, window: int, tile: int = 64, interpret: bool = False
 ):
-    # tile=64 keeps the dkv kernel's banded intermediates
-    # ((tile+2W-2, M, tile+3W-3) each) inside the 16 MB VMEM budget.
+    # tile=64 keeps the merged kernel's banded intermediates
+    # ((tile+W-1)*M, tile+2W-2) inside the 16 MB VMEM budget.
     """Fused backward: returns (dq, dk, dv). Same contracts as the forward."""
     T, H, M, dk_dim = q.shape
     dv_dim = v.shape[-1]
     Tp = ((T + tile - 1) // tile) * tile
     n_tiles = Tp // tile
-
-    qp = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
-    gp = jnp.pad(g, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
-    kp = jnp.pad(k, ((window - 1, Tp - T), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((window - 1, Tp - T), (0, 0), (0, 0)))
-
-    # ---- dQ: same tiling as the forward ----
-    halo = tile + window - 1
-    q_t = qp.transpose(1, 0, 2, 3).reshape(H, n_tiles, tile, M, dk_dim)
-    g_t = gp.transpose(1, 0, 2, 3).reshape(H, n_tiles, tile, M, dv_dim)
-    kh = _halo_tiles(kp, tile, halo).transpose(2, 0, 1, 3)
-    vh = _halo_tiles(vp, tile, halo).transpose(2, 0, 1, 3)
-    dq = pl.pallas_call(
-        functools.partial(_swa_bwd_dq_kernel, window=window, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((H, n_tiles, tile, M, dk_dim), q.dtype),
-        grid=(H, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, tile, M, dk_dim), lambda h, t: (h, t, 0, 0, 0)),
-            pl.BlockSpec((1, 1, halo, dk_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, halo, dv_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, tile, M, dv_dim), lambda h, t: (h, t, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, tile, M, dk_dim), lambda h, t: (h, t, 0, 0, 0)),
-        interpret=interpret,
-    )(q_t, kh, vh, g_t)
-    dq = dq.reshape(H, Tp, M, dk_dim).transpose(1, 0, 2, 3)[:T]
-
-    # ---- dK/dV: key-tiled with extended query blocks ----
     qtile = tile + window - 1
-    qhalo = qtile + window - 1
-    # query blocks start at each key tile's origin, extended by window-1 to
-    # the right; pad queries/g on the right to cover the last block
-    qp2 = jnp.pad(qp, ((0, window - 1), (0, 0), (0, 0), (0, 0)))
-    gp2 = jnp.pad(gp, ((0, window - 1), (0, 0), (0, 0), (0, 0)))
-    q_blocks = _halo_tiles(qp2, tile, qtile).transpose(2, 0, 1, 3, 4)  # (H, nt, qtile, M, dk)
-    g_blocks = _halo_tiles(gp2, tile, qtile).transpose(2, 0, 1, 3, 4)
-    # union key/value buffers per key tile: [k0-window+1, k0+tile+window-1)
-    kp2 = jnp.pad(kp, ((0, window - 1), (0, 0), (0, 0)))
-    vp2 = jnp.pad(vp, ((0, window - 1), (0, 0), (0, 0)))
-    kh2 = _halo_tiles(kp2, tile, qhalo).transpose(2, 0, 1, 3)
-    vh2 = _halo_tiles(vp2, tile, qhalo).transpose(2, 0, 1, 3)
 
-    dk_out, dv_out = pl.pallas_call(
-        functools.partial(_swa_bwd_dkv_kernel, window=window, tile=tile),
+    # extended query blocks [k0, k0+tile+W-1): right-pad W-1 then halo-stack
+    qp = jnp.pad(q, ((0, Tp - T + window - 1), (0, 0), (0, 0), (0, 0)))
+    gp = jnp.pad(g, ((0, Tp - T + window - 1), (0, 0), (0, 0), (0, 0)))
+    qb = _halo_stack(qp, tile, qtile)      # (nt, qtile, H, M, dk)
+    gb = _halo_stack(gp, tile, qtile)
+    qb = qb.transpose(2, 0, 1, 3, 4).reshape(H, n_tiles, qtile * M, dk_dim)
+    gb = gb.transpose(2, 0, 1, 3, 4).reshape(H, n_tiles, qtile * M, dv_dim)
+
+    # full key/value sequences, padded W-1 on both sides (union axis cover)
+    Tkw = Tp + 2 * (window - 1)
+    kf = jnp.pad(k, ((window - 1, Tp - T + window - 1), (0, 0), (0, 0)))
+    vf = jnp.pad(v, ((window - 1, Tp - T + window - 1), (0, 0), (0, 0)))
+    kf = kf.transpose(1, 0, 2)             # (H, Tkw, dk)
+    vf = vf.transpose(1, 0, 2)
+
+    dq, dk_out, dv_out = pl.pallas_call(
+        functools.partial(_swa_bwd_kernel, window=window, tile=tile, m=M),
         out_shape=(
-            jax.ShapeDtypeStruct((H, n_tiles, tile, dk_dim), k.dtype),
-            jax.ShapeDtypeStruct((H, n_tiles, tile, dv_dim), v.dtype),
+            jax.ShapeDtypeStruct((H, Tp * M, dk_dim), q.dtype),
+            jax.ShapeDtypeStruct((H, Tp, dk_dim), k.dtype),
+            jax.ShapeDtypeStruct((H, Tp, dv_dim), v.dtype),
         ),
         grid=(H, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, qtile, M, dk_dim), lambda h, t: (h, t, 0, 0, 0)),
-            pl.BlockSpec((1, 1, qhalo, dk_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, qhalo, dv_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, qtile, M, dv_dim), lambda h, t: (h, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, qtile * M, dk_dim), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, 1, qtile * M, dv_dim), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, Tkw, dk_dim), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((1, Tkw, dv_dim), lambda h, t: (h, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, tile, dk_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, tile, dv_dim), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, tile * M, dk_dim), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, tile, dk_dim), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, tile, dv_dim), lambda h, t: (h, t, 0)),
         ),
         interpret=interpret,
-    )(q_blocks, kh2, vh2, g_blocks)
-    dk = dk_out.reshape(H, Tp, dk_dim).transpose(1, 0, 2)[:T]
-    dv = dv_out.reshape(H, Tp, dv_dim).transpose(1, 0, 2)[:T]
+    )(qb, gb, kf, vf)
+    dq = dq.reshape(H, Tp, M, dk_dim).transpose(1, 0, 2, 3)[:T]
+    dk = dk_out.transpose(1, 0, 2)[:T]
+    dv = dv_out.transpose(1, 0, 2)[:T]
     return dq, dk, dv
 
 
