@@ -29,6 +29,14 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.inject_hyperparams(optax.scale)(step_size=-cfg.lr),
     )
+    # Frame-family models (~150 param leaves) run one trial per step, so the
+    # per-leaf Adam update is a latency-bound tail of ~450 tiny ops;
+    # optax.flatten runs the whole chain over one concatenated vector
+    # (identical math, single fused update). The window family keeps per-leaf
+    # states because parallel/mesh.py assigns tensor-parallel placement to FE
+    # moments *by shape* (a flat vector couldn't ride the TP layout).
+    if cfg.model_name in ("TeCNo", "TransSVNet", "COG"):
+        tx = optax.flatten(tx)
     return tx
 
 
