@@ -50,30 +50,45 @@ def _budget_left() -> bool:
 
 
 def _timed_loop(make_run, carry):
-    """Compile `run(carry)` = fori_loop of the workload; best of REPEATS
-    warm calls (each call runs ITERS chained iterations)."""
+    """Marginal per-iteration time of the chained loop via a two-point
+    slope: the same compiled program (dynamic trip count) is timed at
+    ITERS and 5*ITERS chained iterations and the slope
+    (t_hi - t_lo) / (4*ITERS) cancels the relay's fixed per-dispatch
+    overhead (~100 ms/call on this tunnel — at ITERS=20 that inflated
+    round-1 recorded step times by ~5 ms/iter)."""
     import jax
+    import jax.numpy as jnp
 
     run = make_run()
-    carry = jax.block_until_ready(run(carry))  # compile + warm
-    best = float("inf")
+    n_lo, n_hi = ITERS, 5 * ITERS
+    lo = jnp.asarray(n_lo)
+    hi = jnp.asarray(n_hi)
+    carry = jax.block_until_ready(run(carry, lo))  # compile + warm
+    best_lo = best_hi = float("inf")
     for r in range(REPEATS):
         t0 = time.perf_counter()
-        carry = jax.block_until_ready(run(carry))
-        best = min(best, time.perf_counter() - t0)
+        carry = jax.block_until_ready(run(carry, lo))
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        carry = jax.block_until_ready(run(carry, hi))
+        best_hi = min(best_hi, time.perf_counter() - t0)
         if r + 1 < REPEATS and not _budget_left():
             break
-    return best / ITERS
+    return (best_hi - best_lo) / (n_hi - n_lo)
 
 
 def _loop_flops(make_run, carry):
-    """Total HLO flops of one fori_loop program / ITERS, via XLA cost
-    analysis (-1 if the backend doesn't expose it)."""
+    """HLO flops of ONE loop iteration via XLA cost analysis (-1 if the
+    backend doesn't expose it). cost_analysis counts a while-loop body
+    once regardless of trip count, so the program total IS the
+    per-iteration figure."""
+    import jax.numpy as jnp
+
     try:
-        an = make_run().lower(carry).compile().cost_analysis()
+        an = make_run().lower(carry, jnp.asarray(ITERS)).compile().cost_analysis()
         if isinstance(an, (list, tuple)):
             an = an[0]
-        return float(an.get("flops", -1.0)) / ITERS
+        return float(an.get("flops", -1.0))
     except Exception:
         return -1.0
 
@@ -117,14 +132,14 @@ def main():
 
     def make_infer_run():
         @jax.jit
-        def run(images):
+        def run(images, n):
             def body(i, im):
                 logits = infer(state.params, state.batch_stats, im,
                                batch["kinematics"])
                 # data dependency: next input depends on this output
                 return im + 1e-12 * jnp.mean(logits)
 
-            return jax.lax.fori_loop(0, ITERS, body, images)
+            return jax.lax.fori_loop(0, n, body, images)
 
         return run
 
@@ -141,8 +156,8 @@ def main():
 
         def make_train_run():
             @jax.jit
-            def run(s):
-                return jax.lax.fori_loop(0, ITERS, lambda i, c: step(c, batch)[0], s)
+            def run(s, n):
+                return jax.lax.fori_loop(0, n, lambda i, c: step(c, batch)[0], s)
 
             return run
 
@@ -199,7 +214,7 @@ def main():
 
     def make_cog_run():
         @jax.jit
-        def run(images):
+        def run(images, n):
             def body(i, im):
                 feats = exp_cog.fe.apply({"params": cog_state.params["fe"]}, im)
                 x = jnp.concatenate([feats, fbatch["kinematics"]], axis=-1)
@@ -210,7 +225,7 @@ def main():
                 )
                 return im + 1e-12 * jnp.mean(out_list[0])
 
-            return jax.lax.fori_loop(0, ITERS, body, images)
+            return jax.lax.fori_loop(0, n, body, images)
 
         return run
 
@@ -229,9 +244,9 @@ def main():
 
         def make_cog_train_run():
             @jax.jit
-            def run(s):
+            def run(s, n):
                 return jax.lax.fori_loop(
-                    0, ITERS, lambda i, c: cog_step(c, fbatch)[0], s)
+                    0, n, lambda i, c: cog_step(c, fbatch)[0], s)
 
             return run
 
@@ -255,7 +270,7 @@ def main():
 
     def make_e2e_run():
         @jax.jit
-        def run(frames):
+        def run(frames, n):
             def body(i, fr):
                 pix = jax_preprocess_frames(fr)
                 feats = trunk.apply(tv, pix, train=False)  # (NB, 2048)
@@ -272,7 +287,7 @@ def main():
                 )
                 return fr + 1e-9 * jnp.mean(logits)
 
-            return jax.lax.fori_loop(0, ITERS, body, frames)
+            return jax.lax.fori_loop(0, n, body, frames)
 
         return run
 
@@ -309,7 +324,7 @@ def main():
             "window_infer_mfu": round(_mfu(infer_flops, t_infer), 4),
             "cog_infer_mfu": round(_mfu(cog_flops, t_cog), 4),
             "peak_flops_assumed": PEAK_FLOPS,
-            "timing": f"best of {REPEATS} x fori_loop({ITERS})",
+            "timing": f"two-point slope, best of {REPEATS}, fori_loop({ITERS}) vs fori_loop({5*ITERS})",
         },
     }
     print(json.dumps(result))
