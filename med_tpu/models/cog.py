@@ -47,8 +47,7 @@ from ..ops.attention import attend, layer_norm, sliding_window_attention
 from ..ops.interpolate import interp1d_linear
 from .layers import (
     Conv1d,
-    DilatedResidualLayer,
-    run_residual_stack,
+    ResidualStack,
     torch_default_kernel,
 )
 from .prompts import EMBED_DIM, GESTURES, load_prompt_embeddings
@@ -196,14 +195,10 @@ class COGStage(nn.Module):
         if self.channel_dropout:
             # torch Dropout2d on (B, C, T, 1): zeroes whole channels
             out = nn.Dropout(0.5, broadcast_dims=(1,), deterministic=not train)(out)
-        layers = [
-            DilatedResidualLayer(
-                self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
-                name=f"layer{i}"
-            )
-            for i in range(self.num_layers)
-        ]
-        out = run_residual_stack(self, layers, out, train, self.causal, self.fused)
+        out = ResidualStack(
+            self.num_layers, self.f_maps, causal=self.causal,
+            dtype=self.dtype, fused=self.fused, name="stack",
+        )(out, train)
         logits = Conv1d(self.out_classes, 1, dtype=self.dtype,
                         name="conv_out")(out)
         # fp32 logits for losses / softmax refinement

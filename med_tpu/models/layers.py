@@ -149,138 +149,96 @@ class Conv1d(nn.Module):
         )(x)
 
 
-class _TapConvParams(nn.Module):
-    """Param holder + compute for one conv inside a residual block.
+def _stacked_conv_kernel(key, shape, dtype=jnp.float32):
+    """torch-default kernel init for a per-layer STACK of conv kernels.
 
-    setup-style twin of :class:`_TapConv` with identical param names/shapes
-    (``kernel`` (K, I, O), ``bias`` (O,)) so checkpoints and the torch
-    importers are unaffected — but the params are *declared in setup*, which
-    lets a parent stack them for the fused Pallas kernel without calling the
-    layer (linen materializes setup params on attribute access).
+    shape (L, K, I, O) (or (L, I, O) for 1x1): each layer iid
+    U(±1/sqrt(K*I)) — the leading stack axis must not count toward fan_in,
+    so :data:`torch_default_kernel` (flax variance_scaling) can't be reused.
     """
-
-    features: int
-    in_features: int
-    kernel_size: int
-
-    def setup(self):
-        fan_in = self.in_features * self.kernel_size
-        self.kernel = self.param(
-            "kernel", torch_default_kernel,
-            (self.kernel_size, self.in_features, self.features),
-        )
-        self.bias = self.param("bias", torch_default_bias(fan_in), (self.features,))
-
-    def __call__(self, x, dilation: int, pad: Tuple[int, int], dtype=None):
-        kernel, bias = self.kernel, self.bias
-        if dtype is not None:
-            x = x.astype(dtype)
-            kernel = kernel.astype(dtype)
-            bias = bias.astype(dtype)
-        left, right = pad
-        if left or right:
-            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
-        k, d = self.kernel_size, dilation
-        t_out = x.shape[1] - d * (k - 1)
-        y = jnp.einsum("btc,co->bto", x[:, :t_out], kernel[0])
-        for j in range(1, k):
-            y = y + jnp.einsum(
-                "btc,co->bto", x[:, j * d : j * d + t_out], kernel[j]
-            )
-        return y + bias
+    fan_in = 1
+    for s in shape[1:-1]:
+        fan_in *= s
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-class _ConvScope(nn.Module):
-    """Preserves the historical ``<name>/Conv_0/{kernel,bias}`` param path
-    of :class:`Conv1d` while exposing the params for stacking."""
+class ResidualStack(nn.Module):
+    """``num_layers`` dilated temporal residual blocks (dilation 2^i) over
+    (B, T, C): relu(dilated conv3) -> conv1x1 -> dropout(0.5) -> +residual
+    per block (reference models_TCN.py:104-137; causal left-pad
+    ``2*dilation`` matches the reference's pad-both-sides-then-trim).
 
-    features: int
-    in_features: int
-    kernel_size: int
-
-    def setup(self):
-        self.tap = _TapConvParams(
-            self.features, self.in_features, self.kernel_size, name="Conv_0"
-        )
-
-    def __call__(self, x, dilation: int, pad: Tuple[int, int], dtype=None):
-        return self.tap(x, dilation, pad, dtype)
-
-
-class DilatedResidualLayer(nn.Module):
-    """Dilated temporal residual block (reference models_TCN.py:104-137).
-
-    causal: left-pad ``2*dilation`` (the reference pads both sides and trims
-    the right tail — equivalent); otherwise symmetric ``dilation`` padding.
-    relu(dilated conv3) -> conv1 -> dropout(0.5) -> +residual.
-
-    setup-style so :func:`run_residual_stack` can read the conv params
-    without executing the layer (fused Pallas path).
-    """
-
-    channels: int
-    dilation: int
-    causal: bool = True
-    dropout_rate: float = 0.5
-    dtype: object = None
-
-    def setup(self):
-        self.conv_dilated = _ConvScope(
-            self.channels, self.channels, 3, name="conv_dilated"
-        )
-        self.conv_1x1 = _ConvScope(self.channels, self.channels, 1, name="conv_1x1")
-        self.drop = nn.Dropout(self.dropout_rate)
-
-    def __call__(self, x, train: bool = False):
-        pad = (
-            (2 * self.dilation, 0)
-            if self.causal
-            else (self.dilation, self.dilation)
-        )
-        out = self.conv_dilated(x, self.dilation, pad, self.dtype)
-        out = nn.relu(out)
-        out = self.conv_1x1(out, 1, (0, 0), self.dtype)
-        out = self.drop(out, deterministic=not train)
-        return x + out
-
-
-def run_residual_stack(parent: nn.Module, layers, x, train: bool,
-                       causal: bool, fused) -> jnp.ndarray:
-    """Run a list of :class:`DilatedResidualLayer` (dilations 2^i) over
-    ``x`` (B, T, C) — fused into one Pallas kernel per direction on TPU
-    (:mod:`med_tpu.ops.tcn_fused`), per-layer modules otherwise.
+    Params are stored STACKED per stage — ``w3`` (L, 3, C, C), ``b3`` (L, C),
+    ``w1`` (L, C, C), ``b1`` (L, C) — the exact layout the fused Pallas
+    kernel (:mod:`med_tpu.ops.tcn_fused`) consumes; torch per-layer
+    checkpoints are stacked by the importers (utils/torch_port.py). Four
+    leaves per stage instead of 4*L keeps the frame-family param tree small
+    (~60 vs ~176 leaves): the per-step stack/unstack copies and the
+    flattened optimizer's pack/unpack were a measurable latency tail on the
+    one-trial-per-step TPU regime.
 
     ``fused``: "auto" (TPU only), True (force; interpret mode off-TPU — used
     by the CPU parity tests), or False. The fused path requires fp32 compute
     and B == 1 (the frame-family regime, reference modeling_utils.py:1464).
     """
-    use_fused = (fused is True) or (
-        fused == "auto" and jax.default_backend() == "tpu"
-    )
-    rate = layers[0].dropout_rate
-    # the kernel hardcodes the 1/keep = 2.0 dropout scale and fp32 compute
-    use_fused = use_fused and (rate in (0.0, 0.5)) and layers[0].dtype is None
-    if use_fused and x.shape[0] == 1:
-        from ..ops.tcn_fused import dilated_residual_stack
 
-        w3 = jnp.stack([l.conv_dilated.tap.kernel for l in layers])
-        b3 = jnp.stack([l.conv_dilated.tap.bias for l in layers])
-        w1 = jnp.stack([l.conv_1x1.tap.kernel[0] for l in layers])
-        b1 = jnp.stack([l.conv_1x1.tap.bias for l in layers])
+    num_layers: int
+    channels: int
+    causal: bool = True
+    dropout_rate: float = 0.5
+    dtype: object = None
+    fused: object = "auto"
+
+    def setup(self):
+        L, C = self.num_layers, self.channels
+        self.w3 = self.param("w3", _stacked_conv_kernel, (L, 3, C, C))
+        self.b3 = self.param("b3", torch_default_bias(3 * C), (L, C))
+        self.w1 = self.param("w1", _stacked_conv_kernel, (L, C, C))
+        self.b1 = self.param("b1", torch_default_bias(C), (L, C))
+
+    def __call__(self, x, train: bool = False):
+        L = self.num_layers
+        B, T, C = x.shape
+        rate = self.dropout_rate
         mask = None
         if train and rate > 0.0:
-            L = len(layers)
-            T, C = x.shape[1], x.shape[2]
             mask = jax.random.bernoulli(
-                parent.make_rng("dropout"), 1.0 - rate, (L, T, C)
+                self.make_rng("dropout"), 1.0 - rate, (L, B, T, C)
             ).astype(jnp.uint8)
-        out = dilated_residual_stack(
-            x[0], w3, b3, w1, b1, causal=causal, mask=mask
+
+        use_fused = (self.fused is True) or (
+            self.fused == "auto" and jax.default_backend() == "tpu"
         )
-        return out[None]
-    for l in layers:
-        x = l(x, train)
-    return x
+        # the kernel hardcodes the 1/keep = 2.0 dropout scale + fp32 compute
+        use_fused = use_fused and (rate in (0.0, 0.5)) and self.dtype is None
+        if use_fused and B == 1:
+            from ..ops.tcn_fused import dilated_residual_stack
+
+            out = dilated_residual_stack(
+                x[0], self.w3, self.b3, self.w1, self.b1, causal=self.causal,
+                mask=mask[:, 0] if mask is not None else None,
+            )
+            return out[None]
+
+        w3, b3, w1, b1 = self.w3, self.b3, self.w1, self.b1
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w3, b3, w1, b1 = (a.astype(self.dtype) for a in (w3, b3, w1, b1))
+        keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+        for i in range(L):
+            d = 2 ** i
+            pad = (2 * d, 0) if self.causal else (d, d)
+            xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+            y = sum(
+                jnp.einsum("btc,co->bto", xp[:, j * d : j * d + T], w3[i, j])
+                for j in range(3)
+            ) + b3[i]
+            y = jnp.einsum("btc,co->bto", nn.relu(y), w1[i]) + b1[i]
+            if mask is not None:
+                y = y * mask[i].astype(y.dtype) * keep
+            x = x + y
+        return x
 
 
 class SingleStageTCN(nn.Module):
@@ -303,14 +261,10 @@ class SingleStageTCN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         out = Conv1d(self.f_maps, 1, dtype=self.dtype, name="conv_in")(x)
-        layers = [
-            DilatedResidualLayer(
-                self.f_maps, 2**i, causal=self.causal, dtype=self.dtype,
-                name=f"layer{i}"
-            )
-            for i in range(self.num_layers)
-        ]
-        out = run_residual_stack(self, layers, out, train, self.causal, self.fused)
+        out = ResidualStack(
+            self.num_layers, self.f_maps, causal=self.causal,
+            dtype=self.dtype, fused=self.fused, name="stack",
+        )(out, train)
         logits = Conv1d(self.out_classes, 1, dtype=self.dtype, name="conv_out")(out)
         # logits in fp32 for stable losses/softmax refinement
         return out, logits.astype(jnp.float32)

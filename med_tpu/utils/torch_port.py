@@ -192,13 +192,22 @@ def _tcn_stage(sd, prefix):
     p: Dict[str, Any] = {}
     if f"{prefix}.conv_1x1.weight" in sd:
         p["conv_in"] = _conv(sd, f"{prefix}.conv_1x1")
+    w3, b3, w1, b1 = [], [], [], []
     i = 0
     while f"{prefix}.layers.{i}.conv_dilated.weight" in sd:
-        p[f"layer{i}"] = {
-            "conv_dilated": _conv(sd, f"{prefix}.layers.{i}.conv_dilated"),
-            "conv_1x1": _conv(sd, f"{prefix}.layers.{i}.conv_1x1"),
-        }
+        cd = _conv1d(sd, f"{prefix}.layers.{i}.conv_dilated")
+        c1 = _conv1d(sd, f"{prefix}.layers.{i}.conv_1x1")
+        w3.append(cd["kernel"])          # (3, C, C)
+        b3.append(cd["bias"])
+        w1.append(c1["kernel"][0])       # (1, C, C) -> (C, C)
+        b1.append(c1["bias"])
         i += 1
+    # per-layer residual convs are stored STACKED (models/layers.py
+    # ResidualStack: w3 (L,3,C,C), b3 (L,C), w1 (L,C,C), b1 (L,C))
+    p["stack"] = {
+        "w3": np.stack(w3), "b3": np.stack(b3),
+        "w1": np.stack(w1), "b1": np.stack(b1),
+    }
     p["conv_out"] = _conv(sd, f"{prefix}.conv_out_classes")
     return p
 

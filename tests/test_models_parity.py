@@ -176,11 +176,15 @@ class TorchStage(tnn.Module):
 def port_stage(ts, n_layers):
     p = {"conv_in": {"Conv_0": port_conv1d(ts.cin.weight, ts.cin.bias)},
          "conv_out": {"Conv_0": port_conv1d(ts.cout.weight, ts.cout.bias)}}
-    for i, b in enumerate(ts.blocks):
-        p[f"layer{i}"] = {
-            "conv_dilated": {"Conv_0": port_conv1d(b.conv.weight, b.conv.bias)},
-            "conv_1x1": {"Conv_0": port_conv1d(b.conv1.weight, b.conv1.bias)},
-        }
+    # residual convs live STACKED per stage (models/layers.py ResidualStack)
+    w3 = [port_conv1d(b.conv.weight, b.conv.bias) for b in ts.blocks]
+    w1 = [port_conv1d(b.conv1.weight, b.conv1.bias) for b in ts.blocks]
+    p["stack"] = {
+        "w3": np.stack([c["kernel"] for c in w3]),
+        "b3": np.stack([c["bias"] for c in w3]),
+        "w1": np.stack([c["kernel"][0] for c in w1]),
+        "b1": np.stack([c["bias"] for c in w1]),
+    }
     return p
 
 
