@@ -54,6 +54,32 @@ from .prompts import EMBED_DIM, GESTURES, load_prompt_embeddings
 from .transsvnet import PoswiseFFN
 
 
+class _HeadProj(nn.Module):
+    """Bias-free QKV projection emitting the sliding-window attention
+    kernel's HEAD-MAJOR layout directly: (T, d) -> (H, T, dk) or
+    (T, M, d) -> (H, T, M, dk).
+
+    The kernel param is the plain (d_in, H*dk) matrix of an
+    ``nn.Dense(use_bias=False)`` — same path ("<name>/kernel"), shape and
+    init, so reference-checkpoint importers and existing checkpoints are
+    unaffected; only the einsum's output layout differs (XLA folds it into
+    the matmul instead of emitting a separate head transpose)."""
+
+    d_q: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", torch_default_kernel,
+            (x.shape[-1], self.d_q * self.n_heads),
+        )
+        hk = kernel.reshape(x.shape[-1], self.n_heads, self.d_q)
+        if x.ndim == 2:
+            return jnp.einsum("td,dhk->htk", x, hk)
+        return jnp.einsum("tmd,dhk->htmk", x, hk)
+
+
 class COGAttention(nn.Module):
     """MultiHeadAttention_COG: QKV projections (no bias), concat heads
     *without* output projection, residual + unlearned LN."""
@@ -107,24 +133,22 @@ class COGEncoderLayer(nn.Module):
         T, M, _ = text.shape
         q_in = nn.LayerNorm(name="norm1")(text)
 
-        q = nn.Dense(self.d_q * self.n_heads, use_bias=False,
-                     kernel_init=torch_default_kernel, name="W_Q")(q_in)
-        k = nn.Dense(self.d_q * self.n_heads, use_bias=False,
-                     kernel_init=torch_default_kernel, name="W_K")(visual_seq)
-        v = nn.Dense(self.d_q * self.n_heads, use_bias=False,
-                     kernel_init=torch_default_kernel, name="W_V")(visual_seq)
+        # Bias-free projections straight to the attention kernel's
+        # HEAD-MAJOR layout (param path/shape identical to the former
+        # nn.Dense: kernel (d_model, H*d_q)); the einsum output layout is
+        # folded into the matmul, so no (T, ·, 8)-trailing head transposes
+        # appear on the graph.
+        q = _HeadProj(self.d_q, self.n_heads, name="W_Q")(q_in)       # (H,T,M,dk)
+        k = _HeadProj(self.d_q, self.n_heads, name="W_K")(visual_seq)  # (H,T+p,dk)
+        v = _HeadProj(self.d_q, self.n_heads, name="W_V")(visual_seq)
 
         pad = visual_seq.shape[0] - T  # window - 1
         # Dummy queries for the pad positions; their outputs are discarded.
-        q = q.reshape(T, M, self.n_heads, self.d_q).transpose(0, 2, 1, 3)
-        q = jnp.pad(q, ((pad, 0), (0, 0), (0, 0), (0, 0)))
-        k = k.reshape(-1, self.n_heads, self.d_q)
-        v = v.reshape(-1, self.n_heads, self.d_q)
-        # Fused Pallas fwd + fused Pallas bwd (custom VJP): ~14x faster than
-        # the XLA gather path at eval (4.1 vs 58.6 ms @ T=1024) and ~15%
-        # faster end-to-end in training (33.8 vs 39 ms; v5e, see CLAUDE.md).
-        ctx = sliding_window_attention(q, k, v, self.window, self.use_pallas)[pad:]
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(T, M, self.n_heads * self.d_q)
+        q = jnp.pad(q, ((0, 0), (pad, 0), (0, 0), (0, 0)))
+        # Fused Pallas fwd + merged Pallas bwd (custom VJP); see
+        # ops/attention.py and CLAUDE.md round-2 perf notes.
+        ctx = sliding_window_attention(q, k, v, self.window, self.use_pallas)[:, pad:]
+        ctx = ctx.transpose(1, 2, 0, 3).reshape(T, M, self.n_heads * self.d_q)
         out = layer_norm(ctx + q_in)  # unlearned LN inside COG attention
 
         out = nn.LayerNorm(name="norm3")(out)

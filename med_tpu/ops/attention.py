@@ -18,12 +18,13 @@ Two implementations with identical semantics:
   the time axis, keeps the K/V halo in VMEM, computes banded scores on the
   MXU, and never materializes the (T, W, D) window tensor in HBM.
 
-Shapes (heads folded out by callers or kept, both supported):
-    q:  (T, H, M, dk)   M query tokens per frame (COG: 15 text tokens;
-                        TransSVNet encoder: the window itself)
-    k:  (T, H, dk)      per-frame keys
-    v:  (T, H, dv)      per-frame values
-    out:(T, H, M, dv)
+Shapes — HEAD-MAJOR, so the model's projections write the kernel's layout
+directly (q/k/v head transposes of (T, ·, 8)-trailing tensors were the
+dominant cost of the round-1 kernels' host glue):
+    q:  (H, T, M, dk)   M query tokens per frame (COG: 15 text tokens)
+    k:  (H, T, dk)      per-frame keys
+    v:  (H, T, dv)      per-frame values
+    out:(H, T, M, dv)
 """
 
 from __future__ import annotations
@@ -87,13 +88,16 @@ def sliding_windows(x: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 def sliding_window_attention_xla(q, k, v, window: int) -> jnp.ndarray:
-    """Gather-based reference implementation (also the CPU fallback)."""
-    kwin = sliding_windows(k, window)  # (T, W, H, dk); zero rows = zero keys
-    vwin = sliding_windows(v, window)  # (T, W, H, dv)
+    """Gather-based reference implementation (also the CPU fallback).
+
+    q (H, T, M, dk), k (H, T, dk), v (H, T, dv) -> (H, T, M, dv).
+    """
+    kwin = jax.vmap(lambda x: sliding_windows(x, window))(k)  # (H, T, W, dk)
+    vwin = jax.vmap(lambda x: sliding_windows(x, window))(v)
     d_k = q.shape[-1]
-    scores = jnp.einsum("thmd,twhd->thmw", q, kwin) / math.sqrt(d_k)
+    scores = jnp.einsum("htmd,htwd->htmw", q, kwin) / math.sqrt(d_k)
     attn = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("thmw,twhd->thmd", attn, vwin)
+    return jnp.einsum("htmw,htwd->htmd", attn, vwin)
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +162,9 @@ def _swa_kernel(q_ref, k_ref, v_ref, o_ref, *, window: int, tile: int, m: int):
 def sliding_window_attention_pallas(
     q, k, v, window: int, tile: int = 128, interpret: bool = False
 ):
-    """Fused banded local attention. Same contract as the XLA version."""
-    T, H, M, dk = q.shape
+    """Fused banded local attention. Same head-major contract as the XLA
+    version; no transposes on the host graph — pads and free reshapes only."""
+    H, T, M, dk = q.shape
     dv = v.shape[-1]
     Tp = ((T + tile - 1) // tile) * tile
     n_tiles = Tp // tile
@@ -167,10 +172,9 @@ def sliding_window_attention_pallas(
 
     # Left halo of zeros implements the reference's zero-key windows; right
     # pad rounds T up to the tile grid (padded frames are discarded).
-    qh = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
-    qh = qh.transpose(1, 0, 2, 3).reshape(H, Tp * M, dk)
-    kh = jnp.pad(k, ((window - 1, Tp - T), (0, 0), (0, 0))).transpose(1, 0, 2)
-    vh = jnp.pad(v, ((window - 1, Tp - T), (0, 0), (0, 0))).transpose(1, 0, 2)
+    qh = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0))).reshape(H, Tp * M, dk)
+    kh = jnp.pad(k, ((0, 0), (window - 1, Tp - T), (0, 0)))
+    vh = jnp.pad(v, ((0, 0), (window - 1, Tp - T), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_swa_kernel, window=window, tile=tile, m=M),
@@ -184,7 +188,7 @@ def sliding_window_attention_pallas(
         out_specs=pl.BlockSpec((1, tile * M, dv), lambda h, t: (h, t, 0)),
         interpret=interpret,
     )(qh, kh, vh)
-    return out.reshape(H, Tp, M, dv).transpose(1, 0, 2, 3)[:T]
+    return out.reshape(H, Tp, M, dv)[:, :T]
 
 
 # ---------------------------------------------------------------------------
@@ -204,21 +208,31 @@ def sliding_window_attention_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _swa_bwd_kernel(q_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, *,
+def _swa_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
+                    dq_ref, dk_ref, dv_ref, *,
                     window: int, tile: int, m: int):
     """Merged backward for one (head, key-tile) cell.
 
-    q_ref/g_ref: (1, 1, qtile*M, d) extended query block [k0, k0+tile+W-1)
+    The extended query block [k0, k0+tile+W-1) is assembled in-kernel from
+    two NATURAL query tiles — qa (tile t) and qb (tile t+1, index-map
+    clamped at the last tile) — so the host graph carries no overlapping
+    halo-stack copies of q/g. Rows whose global frame falls beyond the
+    padded sequence (the clamped duplicate at the last tile) are masked out
+    of a/ds before the contractions.
+
+    qa_ref/qb_ref/ga_ref/gb_ref: (1, tile*M, d) natural query/grad tiles
     k_ref/v_ref: (1, Tp+2W-2, d) full padded sequences (VMEM-resident)
     dq_ref: (1, tile*M, dk) grads for queries [k0, k0+tile)
     dk_ref/dv_ref: (1, tile, d) grads for keys [k0, k0+tile)
     """
     i = pl.program_id(1)
-    dk_d = q_ref.shape[-1]
+    n_tiles = pl.num_programs(1)
+    dk_d = qa_ref.shape[-1]
     qtile = tile + window - 1
     qhalo = qtile + window - 1              # union key axis
-    q = q_ref[0, 0]                         # (qtile*m, dk)
-    g = g_ref[0, 0]                         # (qtile*m, dv)
+    ext = (window - 1) * m
+    q = jnp.concatenate([qa_ref[0], qb_ref[0][:ext]], axis=0)  # (qtile*m, dk)
+    g = jnp.concatenate([ga_ref[0], gb_ref[0][:ext]], axis=0)  # (qtile*m, dv)
     kk = k_ref[0, pl.ds(i * tile, qhalo), :]
     vv = v_ref[0, pl.ds(i * tile, qhalo), :]
 
@@ -228,6 +242,11 @@ def _swa_bwd_kernel(q_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, *,
     ) / math.sqrt(dk_d)
     p, in_band = _band_softmax(scores, m, window)
     a = p / jnp.sum(p, axis=-1, keepdims=True)     # (qtile*m, qhalo)
+
+    # zero the contributions of non-existent extension queries (last tile)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qtile * m, qhalo), 0)
+    valid = (i * tile + row // m) < n_tiles * tile
+    a = jnp.where(valid, a, 0.0)
 
     da = jax.lax.dot_general(
         g, vv, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -254,43 +273,28 @@ def _swa_bwd_kernel(q_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[0] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
 
 
-def _halo_stack(x: jnp.ndarray, tile: int, halo: int) -> jnp.ndarray:
-    """(N, ...) -> (n, halo, ...) overlapping tile views via static slices
-    (XLA fuses the slice+stack into copies; no gather)."""
-    n = (x.shape[0] - (halo - tile)) // tile
-    return jnp.stack(
-        [jax.lax.slice_in_dim(x, i * tile, i * tile + halo, axis=0)
-         for i in range(n)]
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret"))
 def sliding_window_attention_bwd_pallas(
     q, k, v, g, window: int, tile: int = 64, interpret: bool = False
 ):
     # tile=64 keeps the merged kernel's banded intermediates
     # ((tile+W-1)*M, tile+2W-2) inside the 16 MB VMEM budget.
-    """Fused backward: returns (dq, dk, dv). Same contracts as the forward."""
-    T, H, M, dk_dim = q.shape
+    """Fused backward: returns (dq, dk, dv). Same head-major contracts as
+    the forward; q/g ride in natural tiling (the kernel assembles extended
+    query blocks from two adjacent tiles in VMEM)."""
+    H, T, M, dk_dim = q.shape
     dv_dim = v.shape[-1]
     Tp = ((T + tile - 1) // tile) * tile
     n_tiles = Tp // tile
-    qtile = tile + window - 1
+    last = n_tiles - 1
 
-    # extended query blocks [k0, k0+tile+W-1): right-pad W-1 then halo-stack
-    qp = jnp.pad(q, ((0, Tp - T + window - 1), (0, 0), (0, 0), (0, 0)))
-    gp = jnp.pad(g, ((0, Tp - T + window - 1), (0, 0), (0, 0), (0, 0)))
-    qb = _halo_stack(qp, tile, qtile)      # (nt, qtile, H, M, dk)
-    gb = _halo_stack(gp, tile, qtile)
-    qb = qb.transpose(2, 0, 1, 3, 4).reshape(H, n_tiles, qtile * M, dk_dim)
-    gb = gb.transpose(2, 0, 1, 3, 4).reshape(H, n_tiles, qtile * M, dv_dim)
+    qp = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0))).reshape(H, Tp * M, dk_dim)
+    gp = jnp.pad(g, ((0, 0), (0, Tp - T), (0, 0), (0, 0))).reshape(H, Tp * M, dv_dim)
 
     # full key/value sequences, padded W-1 on both sides (union axis cover)
     Tkw = Tp + 2 * (window - 1)
-    kf = jnp.pad(k, ((window - 1, Tp - T + window - 1), (0, 0), (0, 0)))
-    vf = jnp.pad(v, ((window - 1, Tp - T + window - 1), (0, 0), (0, 0)))
-    kf = kf.transpose(1, 0, 2)             # (H, Tkw, dk)
-    vf = vf.transpose(1, 0, 2)
+    kf = jnp.pad(k, ((0, 0), (window - 1, Tp - T + window - 1), (0, 0)))
+    vf = jnp.pad(v, ((0, 0), (window - 1, Tp - T + window - 1), (0, 0)))
 
     dq, dk_out, dv_out = pl.pallas_call(
         functools.partial(_swa_bwd_kernel, window=window, tile=tile, m=M),
@@ -301,8 +305,12 @@ def sliding_window_attention_bwd_pallas(
         ),
         grid=(H, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, qtile * M, dk_dim), lambda h, t: (h, t, 0, 0)),
-            pl.BlockSpec((1, 1, qtile * M, dv_dim), lambda h, t: (h, t, 0, 0)),
+            pl.BlockSpec((1, tile * M, dk_dim), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, tile * M, dk_dim),
+                         lambda h, t: (h, jnp.minimum(t + 1, last), 0)),
+            pl.BlockSpec((1, tile * M, dv_dim), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, tile * M, dv_dim),
+                         lambda h, t: (h, jnp.minimum(t + 1, last), 0)),
             pl.BlockSpec((1, Tkw, dk_dim), lambda h, t: (h, 0, 0)),
             pl.BlockSpec((1, Tkw, dv_dim), lambda h, t: (h, 0, 0)),
         ],
@@ -312,10 +320,10 @@ def sliding_window_attention_bwd_pallas(
             pl.BlockSpec((1, tile, dv_dim), lambda h, t: (h, t, 0)),
         ),
         interpret=interpret,
-    )(qb, gb, kf, vf)
-    dq = dq.reshape(H, Tp, M, dk_dim).transpose(1, 0, 2, 3)[:T]
-    dk = dk_out.transpose(1, 0, 2)[:T]
-    dv = dv_out.transpose(1, 0, 2)[:T]
+    )(qp, qp, gp, gp, kf, vf)
+    dq = dq.reshape(H, Tp, M, dk_dim)[:, :T]
+    dk = dk_out[:, :T]
+    dv = dv_out[:, :T]
     return dq, dk, dv
 
 

@@ -70,20 +70,23 @@ def test_sliding_windows_zero_pad(rng):
 
 
 def test_swa_xla_matches_oracle(rng):
+    # the public API is head-major (H, T, ...); the oracle stays T-major
     T, H, M, dk, dv, W = 37, 2, 5, 8, 8, 7
     q = rng.normal(size=(T, H, M, dk)).astype(np.float32)
     k = rng.normal(size=(T, H, dk)).astype(np.float32)
     v = rng.normal(size=(T, H, dv)).astype(np.float32)
-    got = np.asarray(sliding_window_attention_xla(q, k, v, W))
+    got = np.asarray(sliding_window_attention_xla(
+        q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2), v.transpose(1, 0, 2), W
+    )).transpose(1, 0, 2, 3)
     want = oracle_swa(q, k, v, W)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_swa_pallas_matches_xla(rng):
     T, H, M, dk, dv, W = 100, 2, 5, 8, 8, 30
-    q = rng.normal(size=(T, H, M, dk)).astype(np.float32)
-    k = rng.normal(size=(T, H, dk)).astype(np.float32)
-    v = rng.normal(size=(T, H, dv)).astype(np.float32)
+    q = rng.normal(size=(H, T, M, dk)).astype(np.float32)
+    k = rng.normal(size=(H, T, dk)).astype(np.float32)
+    v = rng.normal(size=(H, T, dv)).astype(np.float32)
     want = np.asarray(sliding_window_attention_xla(q, k, v, W))
     got = np.asarray(
         sliding_window_attention_pallas(q, k, v, W, tile=32, interpret=True)
@@ -150,9 +153,9 @@ def test_swa_pallas_grad_matches_xla(rng):
     from med_tpu.ops.attention import _swa_pallas_ad
 
     T, H, M, dk, dv, W = 40, 2, 3, 4, 4, 5
-    q = jnp.asarray(rng.normal(size=(T, H, M, dk)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(T, H, dk)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(T, H, dv)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(H, T, M, dk)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(H, T, dv)), jnp.float32)
 
     def loss_pallas(q, k, v):
         return jnp.sum(_swa_pallas_ad(q, k, v, W, True) ** 2)
