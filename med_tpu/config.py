@@ -145,6 +145,9 @@ class ExperimentConfig:
     use_pallas: bool = True           # Pallas kernels for hot ops (XLA fallback off-TPU)
     prefetch_depth: int = 2           # host->device double buffering
     fused_epoch: bool = True          # window families: whole epoch as one lax.scan
+    fused_run: bool = True            # window families: whole TRAINING RUN (all
+                                      # epochs + evals + best-ckpt selection) as
+                                      # one program (train/fused.py FusedWindowRun)
     trial_batch: int = 1              # frame families: trials per step (vmapped);
                                       # >1 averages gradients across trials — a
                                       # TPU scaling option the reference's

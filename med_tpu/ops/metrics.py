@@ -89,3 +89,33 @@ def metrics_from_cm(cm: np.ndarray, average: str = "binary") -> Dict[str, float]
 
 def f1_from_cm(cm: np.ndarray, average: str = "binary") -> float:
     return metrics_from_cm(cm, average)["f1"]
+
+
+def f1_from_cm_device(cm: jnp.ndarray, average: str = "binary") -> jnp.ndarray:
+    """jnp twin of ``f1_from_cm`` for on-device best-checkpoint selection
+    (train/fused.py::FusedWindowRun). Same definitions as
+    :func:`metrics_from_cm` (sklearn semantics: zero-division -> 0;
+    macro/weighted average over labels present in y_true or y_pred).
+    ``average`` is static; returns a fp32 scalar."""
+    cm = cm.astype(jnp.float32)
+    tp = jnp.diag(cm)
+    fp = jnp.sum(cm, axis=0) - tp
+    fn = jnp.sum(cm, axis=1) - tp
+    precision = jnp.where(tp + fp > 0, tp / jnp.maximum(tp + fp, 1), 0.0)
+    recall = jnp.where(tp + fn > 0, tp / jnp.maximum(tp + fn, 1), 0.0)
+    f1 = jnp.where(
+        precision + recall > 0,
+        2 * precision * recall / jnp.maximum(precision + recall, 1e-30),
+        0.0,
+    )
+    if average == "binary":
+        return f1[1]
+    support = jnp.sum(cm, axis=1)
+    present = (support > 0) | (jnp.sum(cm, axis=0) > 0)
+    n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+    if average == "macro":
+        return jnp.sum(jnp.where(present, f1, 0.0)) / n_present
+    if average == "weighted":
+        w = jnp.where(present, support, 0.0)
+        return jnp.sum(f1 * w) / jnp.maximum(jnp.sum(w), 1e-30)
+    raise ValueError(f"unknown average {average!r}")

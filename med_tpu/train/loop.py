@@ -122,13 +122,7 @@ def train_window_fold(
 
     fused = None
     fused_eval = None
-    if cfg.fused_epoch and exp.family == "window" and not cfg.siamese:
-        from .fused import FusedWindowEpoch, FusedWindowEval
-
-        fused = FusedWindowEpoch(exp, cfg, train_fold,
-                                 extras=extras.get("train"))
-        fused_eval = FusedWindowEval(exp, cfg, test_fold,
-                                     extras=extras.get("test"))
+    fused_ok = cfg.fused_epoch and exp.family == "window" and not cfg.siamese
 
     best: Optional[Dict] = None
     best_ckpt = None
@@ -140,6 +134,20 @@ def train_window_fold(
 
         state, start_epoch = load_train_state(resume_path, state)
         print(f"[{tag}] resumed at epoch {start_epoch}")
+
+    if cfg.fused_run and fused_ok and start_epoch < cfg.n_epochs:
+        return _train_window_fold_fused_run(
+            cfg, exp, state, train_fold, test_fold, extras, tracker, tag,
+            start_epoch, resume_path, average, history,
+        )
+    if fused_ok:
+        from .fused import FusedWindowEpoch, FusedWindowEval
+
+        fused = FusedWindowEpoch(exp, cfg, train_fold,
+                                 extras=extras.get("train"))
+        fused_eval = FusedWindowEval(exp, cfg, test_fold,
+                                     extras=extras.get("test"))
+
     for epoch in range(start_epoch, cfg.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
 
@@ -218,6 +226,93 @@ def train_window_fold(
 
             save_train_state(resume_path, state, epoch)
 
+    return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
+
+
+def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
+                                 extras, tracker, tag, start_epoch,
+                                 resume_path, average, history):
+    """Whole-run fused path: every remaining epoch (train scan + eval scan +
+    on-device best-checkpoint selection) in ONE device program
+    (train/fused.py::FusedWindowRun), then identical host bookkeeping from
+    the stacked per-epoch results. Best-epoch choice replays the device's
+    strict-better comparison over the device-computed scores, so the
+    returned checkpoint and the history agree by construction."""
+    from .fused import FusedWindowRun
+
+    runner = FusedWindowRun(exp, cfg, train_fold, test_fold,
+                            train_extras=extras.get("train"),
+                            test_extras=extras.get("test"))
+    E = cfg.n_epochs - start_epoch
+    t0 = time.time()
+    state, bckpt_dev, outs = runner.run(state, start_epoch, E)
+    tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
+        np.asarray(jax.device_get(o)) for o in outs)
+    wall = time.time() - t0
+    best_ckpt = jax.device_get(bckpt_dev)
+
+    use_loss = cfg.loss_or_f1 == "loss"
+    n_test = runner.n_test
+    best_i = None
+    best_score = np.inf if use_loss else -np.inf
+    nan_warned = False
+    for i in range(E):
+        epoch = start_epoch + i
+        train_m = _epoch_metrics(list(tcms[i]), average, per_batch=True)
+        train_loss = float(np.mean(tlosses[i]))
+        if not np.isfinite(train_loss) and not nan_warned:
+            # the per-epoch loop's NaN watchdog halts; the fused run cannot —
+            # non-finite epochs simply never win selection (NaN compares False)
+            print(f"[{tag}] non-finite train loss at epoch {epoch} "
+                  "(fused run continues; epoch cannot be selected)")
+            nan_warned = True
+        pooled = _epoch_metrics(list(ecms[i]), average, per_batch=False)
+        ev_metrics = {
+            "loss": float(np.mean(elosses[i])),
+            "f1": pooled["f1"],
+            "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
+            "acc": pooled["accuracy"],
+            "jaccard": pooled["jaccard"],
+            "inference_ms_per_window": wall / E / max(n_test, 1) * 1e3,
+        }
+        epoch_row = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "train_f1": train_m["f1"],
+            "train_f1_weighted": train_m.get("f1_weighted", train_m["f1"]),
+            "train_acc": train_m["accuracy"],
+            "train_jaccard": train_m["jaccard"],
+            "train_time": wall / E,
+            **{f"test_{k}": v for k, v in ev_metrics.items()},
+        }
+        history.append(epoch_row)
+        if tracker:
+            tracker.log_metrics(
+                {k: v for k, v in epoch_row.items() if np.isscalar(v)},
+                step=epoch)
+        sc = float(scores[i])
+        if (sc < best_score) if use_loss else (sc > best_score):
+            best_i, best_score = i, sc
+    if best_i is None:  # every epoch non-finite: mirror the device (init ckpt)
+        best_i = 0
+
+    preds = preds_all[best_i].reshape(-1)[:n_test]
+    probs = probs_all[best_i].reshape((-1,) + probs_all.shape[3:])[:n_test]
+    best = dict(history[len(history) - E + best_i])
+    best.update({
+        "preds": preds,
+        "probs": probs,
+        "labels": test_fold.labels_for(cfg.error_type),
+        "raw_labels": test_fold.e_raw,
+        "gestures": test_fold.g_labels.reshape(-1),
+        "subjects": test_fold.subjects,
+        "cm": np.sum(ecms[best_i], axis=0),
+    })
+    if resume_path:
+        from .checkpoint import save_train_state
+
+        # the loader resumes at saved+1: record the last COMPLETED epoch
+        save_train_state(resume_path, state, cfg.n_epochs - 1)
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 
@@ -417,9 +512,13 @@ def train_frame_fold(
     if cfg.fused_epoch:
         from .fused import FusedFrameEpoch, FusedFrameEval
 
-        fused = FusedFrameEpoch(
-            exp, cfg, [make_batch(t, "train") for t in train_trials])
+        train_batches = [make_batch(t, "train") for t in train_trials]
         test_batches = [make_batch(t, "test") for t in test_trials]
+        if cfg.fused_run:
+            return _train_frame_fold_fused_run(
+                cfg, exp, state, test_trials, train_batches, test_batches,
+                tracker, average)
+        fused = FusedFrameEpoch(exp, cfg, train_batches)
         fused_eval = FusedFrameEval(exp, cfg, test_batches)
         fused_eval.host_batches = test_batches
 
@@ -487,6 +586,95 @@ def train_frame_fold(
                  "constants": state.constants}
             )
 
+    return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
+
+
+def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
+                                test_batches, tracker, average):
+    """Whole-run fused path for the frame families (FusedFrameRun): every
+    epoch's train scan + eval scan + on-device best selection in ONE device
+    program, then identical host bookkeeping from the stacked results (see
+    _train_window_fold_fused_run)."""
+    from .fused import FusedFrameRun
+
+    runner = FusedFrameRun(exp, cfg, train_batches, test_batches)
+    E = cfg.n_epochs
+    t0 = time.time()
+    state, bckpt_dev, outs = runner.run(state, 0, E)
+    tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
+        np.asarray(jax.device_get(o)) for o in outs)
+    wall = time.time() - t0
+    best_ckpt = jax.device_get(bckpt_dev)
+
+    n_frames_total = sum(int(b["true_len"]) for b in test_batches)
+    use_loss = cfg.loss_or_f1 == "loss"
+    history = []
+    best_i = None
+    best_score = np.inf if use_loss else -np.inf
+    nan_warned = False
+    for i in range(E):
+        train_m = _epoch_metrics(list(tcms[i]), average, per_batch=False)
+        train_loss = float(np.mean(tlosses[i]))
+        if not np.isfinite(train_loss) and not nan_warned:
+            print(f"non-finite train loss at epoch {i} "
+                  "(fused run continues; epoch cannot be selected)")
+            nan_warned = True
+        pooled = _epoch_metrics(list(ecms[i]), average, per_batch=False)
+        ev_metrics = {
+            "loss": float(np.mean(elosses[i])),
+            "f1": pooled["f1"],
+            "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
+            "acc": pooled["accuracy"],
+            "jaccard": pooled["jaccard"],
+            "inference_ms_per_frame": wall / E / max(n_frames_total, 1) * 1e3,
+        }
+        row = {
+            "epoch": i,
+            "train_loss": train_loss,
+            "train_f1": train_m["f1"],
+            "train_f1_weighted": train_m.get("f1_weighted", train_m["f1"]),
+            "train_acc": train_m["accuracy"],
+            "train_jaccard": train_m["jaccard"],
+            "train_time": wall / E,
+            **{f"test_{k}": v for k, v in ev_metrics.items()},
+        }
+        history.append(row)
+        if tracker:
+            tracker.log_metrics(
+                {k: v for k, v in row.items() if np.isscalar(v)}, step=i)
+        sc = float(scores[i])
+        if (sc < best_score) if use_loss else (sc > best_score):
+            best_i, best_score = i, sc
+    if best_i is None:
+        best_i = 0
+
+    # rebuild the best epoch's per-trial prediction dump (evaluate_frame_fold
+    # record() semantics: trim to true_len, collect labels/gestures/subjects)
+    pe = preds_all[best_i]
+    qe = probs_all[best_i]
+    if runner.G > 1:  # (steps, G, T…) -> (steps*G, T…)
+        pe = pe.reshape((-1,) + pe.shape[2:])
+        qe = qe.reshape((-1,) + qe.shape[2:])
+    preds, probs, labels, gests, subjects, raw_labels = [], [], [], [], [], []
+    for trial, batch, prow, qrow in zip(test_trials, test_batches, pe, qe):
+        T = int(batch["true_len"])
+        preds.append(np.asarray(prow)[:T])
+        probs.append(np.asarray(qrow)[:T])
+        labels.append(batch["labels"][:T])
+        gests.append(batch["_gestures"][:T])
+        if trial.e_raw is not None:
+            raw_labels.append(trial.e_raw[:T])
+        subjects.extend([trial.name] * T)
+    best = dict(history[best_i])
+    best.update({
+        "preds": np.concatenate(preds),
+        "probs": np.concatenate(probs),
+        "labels": np.concatenate(labels),
+        "raw_labels": np.concatenate(raw_labels) if raw_labels else None,
+        "gestures": np.concatenate(gests),
+        "subjects": np.asarray(subjects, object),
+        "cm": np.sum(ecms[best_i], axis=0),
+    })
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 

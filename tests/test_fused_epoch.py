@@ -83,6 +83,37 @@ def test_fused_epoch_es_six_class(tmp_path, rng):
     assert res_fused["best"]["probs"].shape[-1] == 6
 
 
+def test_fused_run_matches_fused_epochs(tmp_path, rng):
+    """Whole-run fusion (all epochs + evals + best selection in ONE program)
+    reproduces the per-epoch fused loop: same history, same best epoch, same
+    predictions, same winning checkpoint."""
+    import jax
+
+    fold_dir = make_synth_fold(tmp_path, rng)
+    base = ExperimentConfig(model_name="SimpleCNN", batch_size=32, n_epochs=3,
+                            lr=1e-3, lr_scheduler=True)
+    train_fold, test_fold = build_window_fold(fold_dir, base)
+
+    res_run = train_window_fold(base.replace(fused_run=True),
+                                train_fold, test_fold)
+    res_ep = train_window_fold(base.replace(fused_run=False),
+                               train_fold, test_fold)
+
+    assert len(res_run["history"]) == len(res_ep["history"]) == 3
+    for a, b in zip(res_run["history"], res_ep["history"]):
+        for k in ("train_loss", "test_loss", "train_f1", "test_f1",
+                  "test_f1_weighted", "test_acc", "test_jaccard"):
+            assert a[k] == pytest.approx(b[k], abs=1e-5), k
+    assert res_run["best"]["epoch"] == res_ep["best"]["epoch"]
+    np.testing.assert_array_equal(res_run["best"]["preds"],
+                                  res_ep["best"]["preds"])
+    np.testing.assert_allclose(res_run["best"]["probs"],
+                               res_ep["best"]["probs"], atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(res_run["checkpoint"]),
+                    jax.tree_util.tree_leaves(res_ep["checkpoint"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 # ----------------------------------------------------------- frame families
 def _frame_cfg(**kw):
     base = dict(
@@ -117,6 +148,39 @@ def test_fused_frame_epoch_matches_per_trial(tmp_path, rng, trial_batch):
     np.testing.assert_array_equal(res_f["best"]["preds"],
                                   res_p["best"]["preds"])
     np.testing.assert_array_equal(res_f["best"]["cm"], res_p["best"]["cm"])
+
+
+def test_fused_frame_run_matches_fused_epochs(tmp_path, rng):
+    """FusedFrameRun (whole run in one program) == the per-epoch fused
+    loop: history, best epoch, predictions, checkpoint."""
+    import jax
+    from med_tpu.data.datasets import build_frame_fold
+    from med_tpu.train.loop import train_frame_fold
+
+    fold_dir = make_synth_fold(tmp_path, rng, n_trials=5, frames_per_trial=150)
+    cfg = _frame_cfg(n_epochs=3, lr_scheduler=True)
+    train_trials = build_frame_fold(fold_dir, cfg, "train.csv")
+    test_trials = build_frame_fold(fold_dir, cfg, "test.csv")
+
+    res_run = train_frame_fold(cfg.replace(fused_run=True),
+                               train_trials, test_trials)
+    res_ep = train_frame_fold(cfg.replace(fused_run=False),
+                              train_trials, test_trials)
+    assert len(res_run["history"]) == len(res_ep["history"]) == 3
+    for a, b in zip(res_run["history"], res_ep["history"]):
+        for k in ("train_loss", "test_loss", "train_f1", "test_f1",
+                  "test_f1_weighted", "test_acc", "test_jaccard"):
+            assert a[k] == pytest.approx(b[k], abs=1e-5), k
+    assert res_run["best"]["epoch"] == res_ep["best"]["epoch"]
+    np.testing.assert_array_equal(res_run["best"]["preds"],
+                                  res_ep["best"]["preds"])
+    np.testing.assert_array_equal(res_run["best"]["gestures"],
+                                  res_ep["best"]["gestures"])
+    np.testing.assert_array_equal(res_run["best"]["subjects"],
+                                  res_ep["best"]["subjects"])
+    for a, b in zip(jax.tree_util.tree_leaves(res_run["checkpoint"]),
+                    jax.tree_util.tree_leaves(res_ep["checkpoint"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_fused_frame_epoch_cog(tmp_path, rng):
