@@ -30,7 +30,7 @@ _CONFIG_FIELDS = [
 ]
 _BOOL_FIELDS = ["lr_scheduler", "pos_weight", "delete_ND", "siamese",
                 "mstcn_causal_conv", "use_pallas", "SRM", "use_skill_prompt",
-                "fused_epoch"]
+                "fused_epoch", "fused_run"]
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
