@@ -32,20 +32,29 @@ class FusedWindowEpoch:
         self,
         exp: Experiment,
         cfg: ExperimentConfig,
-        fold: WindowFold,
+        fold: Optional[WindowFold] = None,
         extras: Optional[Dict[str, np.ndarray]] = None,
+        arrays: Optional[Dict[str, np.ndarray]] = None,
     ):
-        if exp.family != "window":
-            raise ValueError("fused epochs support the plain window family")
+        """``fold``: the window-family path. ``arrays``: any indexable
+        {images, kinematics, labels} dict instead — used for the siamese
+        pair arrays (images (P, 2, W, F)), whose batch protocol is
+        identical (loop.py::_siamese_batches)."""
+        if exp.family not in ("window", "siamese"):
+            raise ValueError("fused epochs support the window families")
         self.cfg = cfg
         self.exp = exp
-        labels = fold.labels_for(cfg.error_type)
-        self.n = len(fold)
-        self.arrays = {
-            "images": jnp.asarray(fold.images),
-            "kinematics": jnp.asarray(fold.kinematics),
-            "labels": jnp.asarray(labels),
-        }
+        if arrays is not None:
+            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self.n = len(next(iter(self.arrays.values())))
+        else:
+            labels = fold.labels_for(cfg.error_type)
+            self.n = len(fold)
+            self.arrays = {
+                "images": jnp.asarray(fold.images),
+                "kinematics": jnp.asarray(fold.kinematics),
+                "labels": jnp.asarray(labels),
+            }
         for k, v in (extras or {}).items():
             self.arrays[k] = jnp.asarray(v)
         self._epoch_fn = jax.jit(self._build(), donate_argnums=(0,))
@@ -253,20 +262,25 @@ class FusedWindowEval:
         self,
         exp: Experiment,
         cfg: ExperimentConfig,
-        fold: WindowFold,
+        fold: Optional[WindowFold] = None,
         extras: Optional[Dict[str, np.ndarray]] = None,
+        arrays: Optional[Dict[str, np.ndarray]] = None,
     ):
-        if exp.family != "window":
-            raise ValueError("fused eval supports the plain window family")
+        if exp.family not in ("window", "siamese"):
+            raise ValueError("fused eval supports the window families")
         self.cfg = cfg
         self.exp = exp
-        labels = fold.labels_for(cfg.error_type)
-        self.n = len(fold)
-        self.arrays = {
-            "images": jnp.asarray(fold.images),
-            "kinematics": jnp.asarray(fold.kinematics),
-            "labels": jnp.asarray(labels),
-        }
+        if arrays is not None:
+            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self.n = len(next(iter(self.arrays.values())))
+        else:
+            labels = fold.labels_for(cfg.error_type)
+            self.n = len(fold)
+            self.arrays = {
+                "images": jnp.asarray(fold.images),
+                "kinematics": jnp.asarray(fold.kinematics),
+                "labels": jnp.asarray(labels),
+            }
         for k, v in (extras or {}).items():
             self.arrays[k] = jnp.asarray(v)
         B = cfg.batch_size

@@ -122,7 +122,7 @@ def train_window_fold(
 
     fused = None
     fused_eval = None
-    fused_ok = cfg.fused_epoch and exp.family == "window" and not cfg.siamese
+    fused_ok = cfg.fused_epoch and exp.family in ("window", "siamese")
 
     best: Optional[Dict] = None
     best_ckpt = None
@@ -135,7 +135,8 @@ def train_window_fold(
         state, start_epoch = load_train_state(resume_path, state)
         print(f"[{tag}] resumed at epoch {start_epoch}")
 
-    if cfg.fused_run and fused_ok and start_epoch < cfg.n_epochs:
+    if (cfg.fused_run and fused_ok and not cfg.siamese
+            and start_epoch < cfg.n_epochs):
         return _train_window_fold_fused_run(
             cfg, exp, state, train_fold, test_fold, extras, tracker, tag,
             start_epoch, resume_path, average, history,
@@ -143,10 +144,20 @@ def train_window_fold(
     if fused_ok:
         from .fused import FusedWindowEpoch, FusedWindowEval
 
-        fused = FusedWindowEpoch(exp, cfg, train_fold,
-                                 extras=extras.get("train"))
-        fused_eval = FusedWindowEval(exp, cfg, test_fold,
-                                     extras=extras.get("test"))
+        if cfg.siamese:
+            # pair arrays ride the same fused scan (identical batch protocol
+            # to _siamese_batches: shuffle(seed+epoch), pad idx 0, mask)
+            tr = siamese_data["train"]
+            te = siamese_data["test"]
+            fused = FusedWindowEpoch(exp, cfg, arrays={
+                "images": tr[0], "kinematics": tr[1], "labels": tr[2]})
+            fused_eval = FusedWindowEval(exp, cfg, arrays={
+                "images": te[0], "kinematics": te[1], "labels": te[2]})
+        else:
+            fused = FusedWindowEpoch(exp, cfg, train_fold,
+                                     extras=extras.get("train"))
+            fused_eval = FusedWindowEval(exp, cfg, test_fold,
+                                         extras=extras.get("test"))
 
     for epoch in range(start_epoch, cfg.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))

@@ -83,6 +83,36 @@ def test_fused_epoch_es_six_class(tmp_path, rng):
     assert res_fused["best"]["probs"].shape[-1] == 6
 
 
+def test_fused_siamese_epoch_matches_per_batch(tmp_path, rng):
+    """Siamese pair training through the fused scan == the per-batch loop
+    (same pair schedule, same vote)."""
+    from med_tpu.cli.train_window import _siamese_data_fn
+
+    fold_dir = make_synth_fold(tmp_path, rng)
+    cfg = ExperimentConfig(model_name="Siamese_CNN", batch_size=32,
+                           n_epochs=2, lr=1e-3, error_type="global",
+                           out_features=1, siamese=True, n_pairs=96,
+                           n_comparisons=3)
+    train_fold, test_fold = build_window_fold(fold_dir, cfg)
+    sdata = _siamese_data_fn(cfg)("1Out", train_fold, test_fold)
+
+    res_f = train_window_fold(cfg.replace(fused_epoch=True),
+                              train_fold, test_fold, siamese_data=sdata)
+    res_p = train_window_fold(cfg.replace(fused_epoch=False),
+                              train_fold, test_fold, siamese_data=sdata)
+    # same pair schedule + step math; scan-vs-dispatch compilation introduces
+    # float-level grad noise that Adam+BN amplify over steps, so epoch 0 is
+    # tight and epoch 1 tolerances are looser
+    a0, b0 = res_f["history"][0], res_p["history"][0]
+    assert a0["train_loss"] == pytest.approx(b0["train_loss"], abs=1e-4)
+    assert a0["test_f1"] == pytest.approx(b0["test_f1"], abs=1e-6)
+    a1, b1 = res_f["history"][1], res_p["history"][1]
+    assert a1["train_loss"] == pytest.approx(b1["train_loss"], abs=5e-3)
+    # the siamese eval cm is the majority-vote CM over test positions
+    assert res_f["best"]["cm"].shape == (2, 2)
+    assert res_f["best"]["cm"].sum() == res_p["best"]["cm"].sum()
+
+
 def test_fused_run_matches_fused_epochs(tmp_path, rng):
     """Whole-run fusion (all epochs + evals + best selection in ONE program)
     reproduces the per-epoch fused loop: same history, same best epoch, same
