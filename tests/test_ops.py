@@ -168,3 +168,21 @@ def test_swa_pallas_grad_matches_xla(rng):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_f1_from_cm_device_matches_host(rng):
+    """On-device selection metric == the host sklearn-semantics metric."""
+    from med_tpu.ops.metrics import f1_from_cm_device, metrics_from_cm
+
+    for trial in range(20):
+        C = int(rng.integers(2, 7))
+        cm = rng.integers(0, 50, size=(C, C))
+        # exercise absent classes (zero rows+cols) too
+        if trial % 3 == 0:
+            k = int(rng.integers(0, C))
+            cm[k, :] = 0
+            cm[:, k] = 0
+        for avg in ("binary", "macro", "weighted"):
+            got = float(f1_from_cm_device(jnp.asarray(cm), avg))
+            want = metrics_from_cm(cm, avg)["f1"]
+            assert got == pytest.approx(want, abs=1e-6), (avg, cm)
