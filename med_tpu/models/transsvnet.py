@@ -21,6 +21,17 @@ from ..ops.attention import attend, layer_norm, sliding_windows
 from .layers import torch_default_kernel
 
 
+class _Kernel(nn.Module):
+    """Holds the (d_in, d_out) ``kernel`` of an ``nn.Dense(use_bias=False)``
+    under the same scope name, for einsum-applied projections."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        return self.param("kernel", torch_default_kernel, (d_in, self.d_out))
+
+
 class MHA(nn.Module):
     """Projections + scaled-dot-product + output proj + unlearned LN
     (reference MultiHeadAttention, models_TCN.py:196-232)."""
@@ -32,24 +43,26 @@ class MHA(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in):
-        B = q_in.shape[0]
+        # Head-major projections via einsum: each kernel param is the plain
+        # (d_in, H*d) matrix of an nn.Dense(use_bias=False) — same
+        # "<name>/kernel" path, shape and init — but the (B, H, L, d)
+        # layout is folded into the matmul, so no transposes of the ~60 MB
+        # windowed projection tensors appear on the graph (they dominated
+        # the round-1 TSVN step).
+        def head_proj(x, d, name):
+            kernel = _Kernel(d * self.n_heads, name=name)(x.shape[-1])
+            hk = kernel.reshape(x.shape[-1], self.n_heads, d)
+            return jnp.einsum("bld,dhk->bhlk", x, hk)
 
-        def proj(x, d, name):
-            y = nn.Dense(
-                d * self.n_heads, use_bias=False,
-                kernel_init=torch_default_kernel, name=name,
-            )(x)
-            return y.reshape(B, -1, self.n_heads, d).transpose(0, 2, 1, 3)
-
-        q = proj(q_in, self.d_k, "W_Q")
-        k = proj(k_in, self.d_k, "W_K")
-        v = proj(v_in, self.d_v, "W_V")
+        q = head_proj(q_in, self.d_k, "W_Q")
+        k = head_proj(k_in, self.d_k, "W_K")
+        v = head_proj(v_in, self.d_v, "W_V")
         ctx = attend(q, k, v)  # (B, H, Lq, d_v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, -1, self.n_heads * self.d_v)
-        out = nn.Dense(
-            self.d_model, use_bias=False,
-            kernel_init=torch_default_kernel, name="fc",
-        )(ctx)
+        fc = _Kernel(self.d_model, name="fc")(self.n_heads * self.d_v)
+        out = jnp.einsum(
+            "bhlv,hvm->blm", ctx,
+            fc.reshape(self.n_heads, self.d_v, self.d_model),
+        )
         return layer_norm(out + q_in)
 
 
