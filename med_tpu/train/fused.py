@@ -321,25 +321,112 @@ class FusedWindowEval:
         return preds, probs, np.asarray(cms), np.asarray(losses)
 
 
-class FusedWindowRun:
-    """The ENTIRE window-family fold training as ONE device program.
-
-    A ``lax.scan`` over epochs, whose body is {set cosine LR -> train-epoch
-    scan -> eval scan -> on-device best-checkpoint selection}; the host
-    ships the (E, steps, B) schedules + (E,) LR table once and reads back
-    the stacked per-epoch metrics, predictions and the winning checkpoint.
-    Per-epoch dispatches disappear entirely (2 per epoch before; the relay
-    here costs ~90 ms per dispatch against ~3 ms of epoch compute).
+class _FusedRunBase:
+    """Shared scaffolding for whole-run fusion: ONE device program scanning
+    over epochs of {cosine LR update -> train-epoch scan -> eval scan ->
+    on-device best-checkpoint selection}. The host ships the per-epoch
+    schedules + LR table once and reads back stacked metrics, predictions
+    and the winning checkpoint; per-epoch dispatches disappear entirely
+    (the relay here costs ~90 ms per dispatch against ~3-5 ms of epoch
+    compute).
 
     Selection replicates loop.py::_better: lowest mean eval loss when
-    ``cfg.loss_or_f1 == 'loss'``, else highest pooled-CM F1 (weighted for
-    the binary families, macro otherwise), strict improvement only. The
-    per-epoch scores are returned so the host's bookkeeping uses the same
-    numbers the device compared. Deviation from the per-epoch loop: the NaN
-    watchdog cannot halt mid-run — non-finite epochs simply can never win
-    selection (NaN comparisons are False) and training continues through
-    them (documented in docs/COMPONENTS.md).
+    ``cfg.loss_or_f1 == 'loss'``, else highest pooled-CM F1
+    (``self.sel_average``), strict improvement only. The per-epoch scores
+    are returned so the host's bookkeeping replays the exact device
+    comparison. Deviation from the per-epoch loop: the NaN watchdog cannot
+    halt mid-run — non-finite epochs simply can never win selection (NaN
+    comparisons are False) and training continues through them (documented
+    in docs/COMPONENTS.md).
+
+    Subclasses set ``self.train`` / ``self.eval`` (fused epoch/eval objects
+    holding device arrays + schedules) and define the two batch makers.
     """
+
+    def _make_train_batch(self, arrays, xs):
+        raise NotImplementedError
+
+    def _make_eval_batch(self, arrays, xs):
+        raise NotImplementedError
+
+    def _eval_schedule(self):
+        raise NotImplementedError
+
+    def _compile(self):
+        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+
+    def _build(self):
+        from ..ops.metrics import f1_from_cm_device
+        from .optim import set_lr
+
+        tstep = self.exp._make_step(train=True)
+        estep = self.exp._make_step(train=False)
+        use_loss = self.cfg.loss_or_f1 == "loss"
+        avg = self.sel_average
+        mk_tb = self._make_train_batch
+        mk_eb = self._make_eval_batch
+
+        def run(state: TrainState, tr_arrays, ev_arrays, sched, lrs,
+                ev_sched):
+            def epoch_body(carry, xs):
+                state, best_score, best_ckpt = carry
+                sched_e, lr_e = xs
+                state = state.replace(opt_state=set_lr(state.opt_state, lr_e))
+
+                def tbody(c, xs2):
+                    ns, met = tstep(c, mk_tb(tr_arrays, xs2))
+                    return ns, (met["cm"], met["loss"])
+
+                state, (tcms, tlosses) = jax.lax.scan(tbody, state, sched_e)
+
+                def ebody(c, xs2):
+                    met = estep(c, mk_eb(ev_arrays, xs2))
+                    return c, (met["preds"], met["probs"], met["cm"],
+                               met["loss"])
+
+                _, (preds, probs, ecms, elosses) = jax.lax.scan(
+                    ebody, state, ev_sched)
+
+                score = (
+                    jnp.mean(elosses) if use_loss
+                    else f1_from_cm_device(jnp.sum(ecms, axis=0), avg)
+                )
+                better = (score < best_score) if use_loss else (score > best_score)
+                ckpt = {"params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "constants": state.constants}
+                best_ckpt = jax.tree.map(
+                    lambda n, o: jnp.where(better, n, o), ckpt, best_ckpt)
+                best_score = jnp.where(better, score, best_score)
+                return (state, best_score, best_ckpt), (
+                    tcms, tlosses, preds, probs, ecms, elosses, score)
+
+            init = jnp.asarray(np.inf if use_loss else -np.inf, jnp.float32)
+            ckpt0 = {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "constants": state.constants}
+            (state, _, bckpt), outs = jax.lax.scan(
+                epoch_body, (state, init, ckpt0), (sched, lrs))
+            return state, bckpt, outs
+
+        return run
+
+    def run(self, state: TrainState, first_epoch: int, n_epochs: int):
+        """Returns (final_state, best_ckpt, per-epoch stacked outputs):
+        (tcms (E,S,C,C), tlosses (E,S), preds (E,Se,…), probs (E,Se,…),
+        ecms (E,Se,C,C), elosses (E,Se), scores (E,))."""
+        from .optim import epoch_lr
+
+        epochs = range(first_epoch, first_epoch + n_epochs)
+        scheds = [self.train.schedule(e) for e in epochs]
+        sched = tuple(jnp.asarray(np.stack(col)) for col in zip(*scheds))
+        lrs = jnp.asarray([epoch_lr(self.cfg, e) for e in epochs], np.float32)
+        return self._fn(state, self.train.arrays, self.eval.arrays, sched,
+                        lrs, self._eval_schedule())
+
+
+class FusedWindowRun(_FusedRunBase):
+    """Whole-run fusion for the window families (see _FusedRunBase)."""
 
     def __init__(
         self,
@@ -360,100 +447,22 @@ class FusedWindowRun:
         # selection metric (loop.py::_average_for + _better)
         binary = cfg.error_type == "global" or cfg.siamese
         self.sel_average = "weighted" if binary else "macro"
-        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+        self._compile()
 
-    def _build(self):
-        from ..ops.metrics import f1_from_cm_device
-        from .optim import set_lr
+    def _make_train_batch(self, arrays, xs):
+        s, m = xs
+        return {**{k: v[s] for k, v in arrays.items()}, "mask": m}
 
-        tstep = self.exp._make_step(train=True)
-        estep = self.exp._make_step(train=False)
-        use_loss = self.cfg.loss_or_f1 == "loss"
-        avg = self.sel_average
+    _make_eval_batch = _make_train_batch
 
-        def run(state: TrainState, tr_arrays, ev_arrays, sel, mask, lrs,
-                ev_sel, ev_mask):
-            def epoch_body(carry, xs):
-                state, best_score, best_ckpt = carry
-                sel_e, mask_e, lr_e = xs
-                state = state.replace(opt_state=set_lr(state.opt_state, lr_e))
-
-                def tbody(c, xs2):
-                    s, m = xs2
-                    batch = {k: v[s] for k, v in tr_arrays.items()}
-                    batch["mask"] = m
-                    ns, met = tstep(c, batch)
-                    return ns, (met["cm"], met["loss"])
-
-                state, (tcms, tlosses) = jax.lax.scan(
-                    tbody, state, (sel_e, mask_e))
-
-                def ebody(c, xs2):
-                    s, m = xs2
-                    batch = {k: v[s] for k, v in ev_arrays.items()}
-                    batch["mask"] = m
-                    met = estep(c, batch)
-                    return c, (met["preds"], met["probs"], met["cm"],
-                               met["loss"])
-
-                _, (preds, probs, ecms, elosses) = jax.lax.scan(
-                    ebody, state, (ev_sel, ev_mask))
-
-                score = (
-                    jnp.mean(elosses) if use_loss
-                    else f1_from_cm_device(jnp.sum(ecms, axis=0), avg)
-                )
-                better = (score < best_score) if use_loss else (score > best_score)
-                ckpt = {"params": state.params,
-                        "batch_stats": state.batch_stats,
-                        "constants": state.constants}
-                best_ckpt = jax.tree.map(
-                    lambda n, o: jnp.where(better, n, o), ckpt, best_ckpt)
-                best_score = jnp.where(better, score, best_score)
-                return (state, best_score, best_ckpt), (
-                    tcms, tlosses, preds, probs, ecms, elosses, score)
-
-            init = jnp.asarray(np.inf if use_loss else -np.inf, jnp.float32)
-            ckpt0 = {"params": state.params,
-                     "batch_stats": state.batch_stats,
-                     "constants": state.constants}
-            (state, bscore, bckpt), outs = jax.lax.scan(
-                epoch_body, (state, init, ckpt0), (sel, mask, lrs))
-            return state, bckpt, outs
-
-        return run
-
-    def run(self, state: TrainState, first_epoch: int, n_epochs: int):
-        """Returns (final_state, best_ckpt, per-epoch stacked outputs):
-        (tcms (E,S,C,C), tlosses (E,S), preds (E,Se,B), probs (E,Se,B,…),
-        ecms (E,Se,C,C), elosses (E,Se), scores (E,))."""
-        from .optim import epoch_lr
-
-        sel = np.stack([self.train.schedule(e)[0]
-                        for e in range(first_epoch, first_epoch + n_epochs)])
-        mask = np.stack([self.train.schedule(e)[1]
-                         for e in range(first_epoch, first_epoch + n_epochs)])
-        lrs = np.asarray(
-            [epoch_lr(self.cfg, e)
-             for e in range(first_epoch, first_epoch + n_epochs)], np.float32)
-        return self._fn(
-            state, self.train.arrays, self.eval.arrays, jnp.asarray(sel),
-            jnp.asarray(mask), jnp.asarray(lrs), self.eval._sel,
-            self.eval._mask)
+    def _eval_schedule(self):
+        return (self.eval._sel, self.eval._mask)
 
 
-class FusedFrameRun:
-    """The ENTIRE frame-family fold training (TeCNo / TransSVNet / COG) as
-    ONE device program — the frame twin of :class:`FusedWindowRun`.
-
-    ``lax.scan`` over epochs of {cosine LR -> FusedFrameEpoch-style train
-    scan -> FusedFrameEval-style eval scan -> on-device best-checkpoint
-    selection}. Selection replicates loop.py::_better (mean eval loss when
-    ``cfg.loss_or_f1 == 'loss'``, else pooled-CM F1 — weighted for
-    ``error_type == 'global'``, macro otherwise; strict improvement). The
-    per-epoch scores come back so host bookkeeping replays the exact device
-    comparison. NaN-watchdog deviation as in FusedWindowRun.
-    """
+class FusedFrameRun(_FusedRunBase):
+    """Whole-run fusion for the frame families — TeCNo / TransSVNet / COG
+    (see _FusedRunBase). ``error_type == 'global'`` selects on weighted F1,
+    macro otherwise, matching loop.py::train_frame_fold."""
 
     def __init__(self, exp: Experiment, cfg: ExperimentConfig,
                  train_batches, test_batches):
@@ -462,99 +471,19 @@ class FusedFrameRun:
         self.train = FusedFrameEpoch(exp, cfg, train_batches)
         self.eval = FusedFrameEval(exp, cfg, test_batches)
         self.eval.host_batches = test_batches
-        binary = cfg.error_type == "global"
-        self.sel_average = "weighted" if binary else "macro"
+        self.sel_average = ("weighted" if cfg.error_type == "global"
+                            else "macro")
         self.G = self.train.G
-        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+        self._compile()
 
-    def _build(self):
-        from ..ops.metrics import f1_from_cm_device
-        from .optim import set_lr
+    def _make_train_batch(self, arrays, xs):
+        s, w = xs
+        batch = {k: v[s] for k, v in arrays.items()}
+        if self.G > 1:
+            batch["trial_weight"] = w
+        return batch
 
-        tstep = self.exp._make_step(train=True)
-        estep = self.exp._make_step(train=False)
-        use_loss = self.cfg.loss_or_f1 == "loss"
-        avg = self.sel_average
-        grouped = self.G > 1
+    _make_eval_batch = _make_train_batch
 
-        def run(state: TrainState, tr_arrays, ev_arrays, sel, weight, lrs,
-                ev_sel, ev_weight):
-            def epoch_body(carry, xs):
-                state, best_score, best_ckpt = carry
-                sel_e, weight_e, lr_e = xs
-                state = state.replace(opt_state=set_lr(state.opt_state, lr_e))
-
-                if grouped:
-                    def tbody(c, xs2):
-                        s, w = xs2
-                        batch = {k: v[s] for k, v in tr_arrays.items()}
-                        batch["trial_weight"] = w
-                        ns, m = tstep(c, batch)
-                        return ns, (m["cm"], m["loss"])
-
-                    state, (tcms, tlosses) = jax.lax.scan(
-                        tbody, state, (sel_e, weight_e))
-
-                    def ebody(c, xs2):
-                        s, w = xs2
-                        batch = {k: v[s] for k, v in ev_arrays.items()}
-                        batch["trial_weight"] = w
-                        m = estep(c, batch)
-                        return c, (m["preds"], m["probs"], m["cm"], m["loss"])
-
-                    _, (preds, probs, ecms, elosses) = jax.lax.scan(
-                        ebody, state, (ev_sel, ev_weight))
-                else:
-                    def tbody(c, s):
-                        batch = {k: v[s] for k, v in tr_arrays.items()}
-                        ns, m = tstep(c, batch)
-                        return ns, (m["cm"], m["loss"])
-
-                    state, (tcms, tlosses) = jax.lax.scan(tbody, state, sel_e)
-
-                    def ebody(c, s):
-                        batch = {k: v[s] for k, v in ev_arrays.items()}
-                        m = estep(c, batch)
-                        return c, (m["preds"], m["probs"], m["cm"], m["loss"])
-
-                    _, (preds, probs, ecms, elosses) = jax.lax.scan(
-                        ebody, state, ev_sel)
-
-                score = (
-                    jnp.mean(elosses) if use_loss
-                    else f1_from_cm_device(jnp.sum(ecms, axis=0), avg)
-                )
-                better = (score < best_score) if use_loss else (score > best_score)
-                ckpt = {"params": state.params,
-                        "batch_stats": state.batch_stats,
-                        "constants": state.constants}
-                best_ckpt = jax.tree.map(
-                    lambda n, o: jnp.where(better, n, o), ckpt, best_ckpt)
-                best_score = jnp.where(better, score, best_score)
-                return (state, best_score, best_ckpt), (
-                    tcms, tlosses, preds, probs, ecms, elosses, score)
-
-            init = jnp.asarray(np.inf if use_loss else -np.inf, jnp.float32)
-            ckpt0 = {"params": state.params,
-                     "batch_stats": state.batch_stats,
-                     "constants": state.constants}
-            (state, bscore, bckpt), outs = jax.lax.scan(
-                epoch_body, (state, init, ckpt0), (sel, weight, lrs))
-            return state, bckpt, outs
-
-        return run
-
-    def run(self, state: TrainState, first_epoch: int, n_epochs: int):
-        from .optim import epoch_lr
-
-        scheds = [self.train.schedule(e)
-                  for e in range(first_epoch, first_epoch + n_epochs)]
-        sel = np.stack([s for s, _ in scheds])
-        weight = np.stack([w for _, w in scheds])
-        lrs = np.asarray(
-            [epoch_lr(self.cfg, e)
-             for e in range(first_epoch, first_epoch + n_epochs)], np.float32)
-        return self._fn(
-            state, self.train.arrays, self.eval.arrays, jnp.asarray(sel),
-            jnp.asarray(weight), jnp.asarray(lrs), self.eval._sel,
-            self.eval._weight)
+    def _eval_schedule(self):
+        return (self.eval._sel, self.eval._weight)

@@ -240,36 +240,22 @@ def train_window_fold(
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 
-def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
-                                 extras, tracker, tag, start_epoch,
-                                 resume_path, average, history):
-    """Whole-run fused path: every remaining epoch (train scan + eval scan +
-    on-device best-checkpoint selection) in ONE device program
-    (train/fused.py::FusedWindowRun), then identical host bookkeeping from
-    the stacked per-epoch results. Best-epoch choice replays the device's
-    strict-better comparison over the device-computed scores, so the
-    returned checkpoint and the history agree by construction."""
-    from .fused import FusedWindowRun
-
-    runner = FusedWindowRun(exp, cfg, train_fold, test_fold,
-                            train_extras=extras.get("train"),
-                            test_extras=extras.get("test"))
-    E = cfg.n_epochs - start_epoch
-    t0 = time.time()
-    state, bckpt_dev, outs = runner.run(state, start_epoch, E)
-    tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
-        np.asarray(jax.device_get(o)) for o in outs)
-    wall = time.time() - t0
-    best_ckpt = jax.device_get(bckpt_dev)
-
+def _fused_run_history(cfg, E, start_epoch, tcms, tlosses, ecms, elosses,
+                       scores, average, per_batch_train, wall, infer_key,
+                       infer_denom, tracker, history, tag=""):
+    """Shared host bookkeeping after a fused whole-run: rebuild the per-epoch
+    history rows from the stacked device results and replay the device's
+    strict-better selection over the device-computed scores (so the returned
+    best index matches the on-device checkpoint by construction). Returns
+    the best epoch index (relative to the run)."""
     use_loss = cfg.loss_or_f1 == "loss"
-    n_test = runner.n_test
     best_i = None
     best_score = np.inf if use_loss else -np.inf
     nan_warned = False
     for i in range(E):
         epoch = start_epoch + i
-        train_m = _epoch_metrics(list(tcms[i]), average, per_batch=True)
+        train_m = _epoch_metrics(list(tcms[i]), average,
+                                 per_batch=per_batch_train)
         train_loss = float(np.mean(tlosses[i]))
         if not np.isfinite(train_loss) and not nan_warned:
             # the per-epoch loop's NaN watchdog halts; the fused run cannot —
@@ -284,7 +270,7 @@ def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
             "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
             "acc": pooled["accuracy"],
             "jaccard": pooled["jaccard"],
-            "inference_ms_per_window": wall / E / max(n_test, 1) * 1e3,
+            infer_key: wall / E / max(infer_denom, 1) * 1e3,
         }
         epoch_row = {
             "epoch": epoch,
@@ -304,8 +290,34 @@ def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
         sc = float(scores[i])
         if (sc < best_score) if use_loss else (sc > best_score):
             best_i, best_score = i, sc
-    if best_i is None:  # every epoch non-finite: mirror the device (init ckpt)
-        best_i = 0
+    # every epoch non-finite: mirror the device (initial checkpoint wins)
+    return 0 if best_i is None else best_i
+
+
+def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
+                                 extras, tracker, tag, start_epoch,
+                                 resume_path, average, history):
+    """Whole-run fused path: every remaining epoch (train scan + eval scan +
+    on-device best-checkpoint selection) in ONE device program
+    (train/fused.py::FusedWindowRun), then identical host bookkeeping from
+    the stacked per-epoch results."""
+    from .fused import FusedWindowRun
+
+    runner = FusedWindowRun(exp, cfg, train_fold, test_fold,
+                            train_extras=extras.get("train"),
+                            test_extras=extras.get("test"))
+    E = cfg.n_epochs - start_epoch
+    t0 = time.time()
+    state, bckpt_dev, outs = runner.run(state, start_epoch, E)
+    tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
+        np.asarray(jax.device_get(o)) for o in outs)
+    wall = time.time() - t0
+    best_ckpt = jax.device_get(bckpt_dev)
+
+    n_test = runner.n_test
+    best_i = _fused_run_history(
+        cfg, E, start_epoch, tcms, tlosses, ecms, elosses, scores, average,
+        True, wall, "inference_ms_per_window", n_test, tracker, history, tag)
 
     preds = preds_all[best_i].reshape(-1)[:n_test]
     probs = probs_all[best_i].reshape((-1,) + probs_all.shape[3:])[:n_test]
@@ -618,46 +630,10 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
     best_ckpt = jax.device_get(bckpt_dev)
 
     n_frames_total = sum(int(b["true_len"]) for b in test_batches)
-    use_loss = cfg.loss_or_f1 == "loss"
     history = []
-    best_i = None
-    best_score = np.inf if use_loss else -np.inf
-    nan_warned = False
-    for i in range(E):
-        train_m = _epoch_metrics(list(tcms[i]), average, per_batch=False)
-        train_loss = float(np.mean(tlosses[i]))
-        if not np.isfinite(train_loss) and not nan_warned:
-            print(f"non-finite train loss at epoch {i} "
-                  "(fused run continues; epoch cannot be selected)")
-            nan_warned = True
-        pooled = _epoch_metrics(list(ecms[i]), average, per_batch=False)
-        ev_metrics = {
-            "loss": float(np.mean(elosses[i])),
-            "f1": pooled["f1"],
-            "f1_weighted": pooled.get("f1_weighted", pooled["f1"]),
-            "acc": pooled["accuracy"],
-            "jaccard": pooled["jaccard"],
-            "inference_ms_per_frame": wall / E / max(n_frames_total, 1) * 1e3,
-        }
-        row = {
-            "epoch": i,
-            "train_loss": train_loss,
-            "train_f1": train_m["f1"],
-            "train_f1_weighted": train_m.get("f1_weighted", train_m["f1"]),
-            "train_acc": train_m["accuracy"],
-            "train_jaccard": train_m["jaccard"],
-            "train_time": wall / E,
-            **{f"test_{k}": v for k, v in ev_metrics.items()},
-        }
-        history.append(row)
-        if tracker:
-            tracker.log_metrics(
-                {k: v for k, v in row.items() if np.isscalar(v)}, step=i)
-        sc = float(scores[i])
-        if (sc < best_score) if use_loss else (sc > best_score):
-            best_i, best_score = i, sc
-    if best_i is None:
-        best_i = 0
+    best_i = _fused_run_history(
+        cfg, E, 0, tcms, tlosses, ecms, elosses, scores, average, False,
+        wall, "inference_ms_per_frame", n_frames_total, tracker, history)
 
     # rebuild the best epoch's per-trial prediction dump (evaluate_frame_fold
     # record() semantics: trim to true_len, collect labels/gestures/subjects)
