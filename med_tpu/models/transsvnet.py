@@ -15,6 +15,7 @@ windowed (T, len_q, C) activations.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attend, layer_norm, sliding_windows
@@ -100,12 +101,16 @@ class TransSVNet(nn.Module):
         windows = sliding_windows(x, self.len_q) if B == 1 else _batched_windows(
             tecno_logits, self.len_q
         )
-        # encoder: self-attention over the window + FFN
+        # encoder: self-attention over the window + FFN. (A banded
+        # shared-score formulation — overlapping windows share pair scores,
+        # collapsing the (T, W, W) attention to a (T+W-1, 2W-1) band +
+        # prefix sums — was tried and is SLOWER here: ~120 small
+        # slice/cumsum ops lose to the batched MXU matmuls in this
+        # latency-bound regime; see CLAUDE.md round-2 notes.)
         enc = windows
         for i in range(self.n_enc_layers):
-            enc = MHA(C, self.f_maps, self.f_maps, self.n_heads, name=f"enc_attn{i}")(
-                enc, enc, enc
-            )
+            enc = MHA(C, self.f_maps, self.f_maps, self.n_heads,
+                      name=f"enc_attn{i}")(enc, enc, enc)
             enc = PoswiseFFN(C, self.f_maps, name=f"enc_ffn{i}")(enc)
 
         # decoder: one query token per frame cross-attends its window
@@ -123,8 +128,6 @@ class TransSVNet(nn.Module):
 
 
 def _batched_windows(x, len_q):
-    import jax
-
     return jax.vmap(lambda s: sliding_windows(s, len_q))(x).reshape(
         -1, len_q, x.shape[-1]
     )
