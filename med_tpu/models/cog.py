@@ -43,7 +43,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attend, layer_norm, sliding_window_attention
+from ..ops.attention import attend, layer_norm, sliding_window_attention_packed
 from ..ops.interpolate import interp1d_linear
 from .layers import (
     Conv1d,
@@ -54,16 +54,17 @@ from .prompts import EMBED_DIM, GESTURES, load_prompt_embeddings
 from .transsvnet import PoswiseFFN
 
 
-class _HeadProj(nn.Module):
+class _PackedProj(nn.Module):
     """Bias-free QKV projection emitting the sliding-window attention
-    kernel's HEAD-MAJOR layout directly: (T, d) -> (H, T, dk) or
-    (T, M, d) -> (H, T, M, dk).
+    kernel's PACKED layout directly: (N, d) -> (H, dk, N) — the big token
+    axis stays on lanes, so no minor-dim-8 tensors (which XLA lane-pads
+    16x physically) ever hit HBM.
 
     The kernel param is the plain (d_in, H*dk) matrix of an
     ``nn.Dense(use_bias=False)`` — same path ("<name>/kernel"), shape and
     init, so reference-checkpoint importers and existing checkpoints are
     unaffected; only the einsum's output layout differs (XLA folds it into
-    the matmul instead of emitting a separate head transpose)."""
+    the matmul instead of emitting a separate transpose)."""
 
     d_q: int
     n_heads: int
@@ -75,9 +76,7 @@ class _HeadProj(nn.Module):
             (x.shape[-1], self.d_q * self.n_heads),
         )
         hk = kernel.reshape(x.shape[-1], self.n_heads, self.d_q)
-        if x.ndim == 2:
-            return jnp.einsum("td,dhk->htk", x, hk)
-        return jnp.einsum("tmd,dhk->htmk", x, hk)
+        return jnp.einsum("nd,dhk->hkn", x, hk)
 
 
 class COGAttention(nn.Module):
@@ -133,22 +132,24 @@ class COGEncoderLayer(nn.Module):
         T, M, _ = text.shape
         q_in = nn.LayerNorm(name="norm1")(text)
 
-        # Bias-free projections straight to the attention kernel's
-        # HEAD-MAJOR layout (param path/shape identical to the former
-        # nn.Dense: kernel (d_model, H*d_q)); the einsum output layout is
-        # folded into the matmul, so no (T, ·, 8)-trailing head transposes
-        # appear on the graph.
-        q = _HeadProj(self.d_q, self.n_heads, name="W_Q")(q_in)       # (H,T,M,dk)
-        k = _HeadProj(self.d_q, self.n_heads, name="W_K")(visual_seq)  # (H,T+p,dk)
-        v = _HeadProj(self.d_q, self.n_heads, name="W_V")(visual_seq)
+        # Bias-free projections straight to the attention kernel's PACKED
+        # layout (param path/shape identical to the former nn.Dense: kernel
+        # (d_model, H*d_q)); the einsum output layout is folded into the
+        # matmul, so no minor-dim-8 tensors appear on the graph.
+        q = _PackedProj(self.d_q, self.n_heads, name="W_Q")(
+            q_in.reshape(T * M, self.d_model))           # (H, dk, T*M)
+        k = _PackedProj(self.d_q, self.n_heads, name="W_K")(visual_seq)
+        v = _PackedProj(self.d_q, self.n_heads, name="W_V")(visual_seq)
 
         pad = visual_seq.shape[0] - T  # window - 1
-        # Dummy queries for the pad positions; their outputs are discarded.
-        q = jnp.pad(q, ((0, 0), (pad, 0), (0, 0), (0, 0)))
+        # Dummy queries for the pad positions (lane left-pad of the packed
+        # token axis); their outputs are discarded.
+        q = jnp.pad(q, ((0, 0), (0, 0), (pad * M, 0)))
         # Fused Pallas fwd + merged Pallas bwd (custom VJP); see
         # ops/attention.py and CLAUDE.md round-2 perf notes.
-        ctx = sliding_window_attention(q, k, v, self.window, self.use_pallas)[:, pad:]
-        ctx = ctx.transpose(1, 2, 0, 3).reshape(T, M, self.n_heads * self.d_q)
+        ctx = sliding_window_attention_packed(
+            q, k, v, self.window, M, self.use_pallas)[:, :, pad * M:]
+        ctx = ctx.transpose(2, 0, 1).reshape(T, M, self.n_heads * self.d_q)
         out = layer_norm(ctx + q_in)  # unlearned LN inside COG attention
 
         out = nn.LayerNorm(name="norm3")(out)

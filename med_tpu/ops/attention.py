@@ -353,3 +353,217 @@ def sliding_window_attention(q, k, v, window: int, use_pallas: bool = True):
     if use_pallas and on_tpu:
         return _swa_pallas_ad(q, k, v, window, False)
     return sliding_window_attention_xla(q, k, v, window)
+
+
+# ---------------------------------------------------------------------------
+# PACKED (fully transposed) layout: every HBM tensor keeps the big T*M axis
+# on LANES and the tiny dk/dv axes on sublanes — minor-dim-8 buffers would
+# otherwise be lane-padded 16x physically (measured: the layout copies and
+# kernel DMA of the head-major path were ~1 ms of the COG step). The model's
+# QKV einsums emit this layout directly ("nd,dhk->hkn"); scores live
+# transposed (keys on sublanes) with softmax over the sublane axis, and the
+# key halo is a 128-aligned 256-wide LANE slice whose surplus columns the
+# band mask kills.
+#   q: (H, dk, N)  N = T*M (queries flattened frame-major)
+#   k: (H, dk, T)  v: (H, dv, T)   out: (H, dv, N)
+# ---------------------------------------------------------------------------
+
+KH = 256  # key-halo lane-slice size (>= tile + window - 1, 128-aligned)
+
+
+def _band_t(rows, cols, m, window, scores_dtype):
+    """in_band[j, n]: key j (local halo row) serves query frame n//m."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    frame = col // m
+    return (row >= frame) & (row < frame + window)
+
+
+def _sliding_window_attention_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m):
+    i = pl.program_id(1)
+    dk = q_ref.shape[1]
+    n = tile * m
+    q = q_ref[0]                                  # (dk, tile*m)
+    kk = k_ref[0, :, pl.ds(i * tile, KH)]          # (dk, KH)
+    vv = v_ref[0, :, pl.ds(i * tile, KH)]          # (dv, KH)
+    scores = jax.lax.dot_general(
+        kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk)                              # (KH, tile*m)
+    in_band = _band_t(KH, n, m, window, scores.dtype)
+    neg = jnp.finfo(scores.dtype).min
+    smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
+    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+    attn = p / jnp.sum(p, axis=0, keepdims=True)
+    out = jax.lax.dot_general(
+        vv, attn, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (dv, tile*m)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
+def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int = 128,
+              interpret: bool = False):
+    """q (H, dk, N) with N = T*M; k/v (H, d, T) -> out (H, dv, N)."""
+    H, dk, N = q.shape
+    dv = v.shape[1]
+    T = N // m
+    Tp = ((T + tile - 1) // tile) * tile
+    n_tiles = Tp // tile
+    Tk = Tp + KH  # left halo (window-1 zeros) + right safety padding
+
+    qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
+    kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
+    vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
+
+    out = pl.pallas_call(
+        functools.partial(_sliding_window_attention_packed_fwd_kernel, window=window, tile=tile, m=m),
+        out_shape=jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
+        grid=(H, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, dk, tile * m), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, dk, Tk), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((1, dv, Tk), lambda h, t: (h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, dv, tile * m), lambda h, t: (h, 0, t)),
+        interpret=interpret,
+    )(qh, kh, vh)
+    return out[:, :, :N]
+
+
+def _sliding_window_attention_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
+                      dq_ref, dk_ref, dv_ref, *, window, tile, m):
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    dk_d = qa_ref.shape[1]
+    n = tile * m
+    ext = (window - 1) * m
+    q = jnp.concatenate([qa_ref[0], qb_ref[0][:, :ext]], axis=1)  # (dk, qn)
+    g = jnp.concatenate([ga_ref[0], gb_ref[0][:, :ext]], axis=1)  # (dv, qn)
+    qn = n + ext
+    kk = k_ref[0, :, pl.ds(i * tile, KH)]
+    vv = v_ref[0, :, pl.ds(i * tile, KH)]
+
+    scores = jax.lax.dot_general(
+        kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk_d)                            # (KH, qn)
+    in_band = _band_t(KH, qn, m, window, scores.dtype)
+    neg = jnp.finfo(scores.dtype).min
+    smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
+    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+    a = p / jnp.sum(p, axis=0, keepdims=True)      # (KH, qn)
+
+    # zero non-existent extension queries (clamped duplicate, last tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, (KH, qn), 1)
+    valid = (i * tile + col // m) < n_tiles * tile
+    a = jnp.where(valid, a, 0.0)
+
+    da = jax.lax.dot_general(
+        vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (KH, qn)
+    da = jnp.where(in_band, da, 0.0)
+    ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True)) / math.sqrt(dk_d)
+
+    dq = jax.lax.dot_general(
+        kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (dk, qn)
+    dq_ref[0] = dq[:, :n].astype(dq_ref.dtype)
+
+    dk_union = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (KH, dk)
+    dv_union = jax.lax.dot_general(
+        a, g, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (KH, dv)
+    dk_ref[0] = dk_union[window - 1: window - 1 + tile].astype(dk_ref.dtype)
+    dv_ref[0] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
+def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: int = 128,
+              interpret: bool = False):
+    """Merged backward in the transposed layout. Returns (dq (H,dk,N),
+    dk (H,Tp?,dk)->(H,T,dk), dv)."""
+    H, dk_d, N = q.shape
+    dv_d = v.shape[1]
+    T = N // m
+    Tp = ((T + tile - 1) // tile) * tile
+    n_tiles = Tp // tile
+    Tk = Tp + KH
+
+    qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
+    gh = jnp.pad(g, ((0, 0), (0, 0), (0, (Tp - T) * m)))
+    kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
+    vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
+    last = n_tiles - 1
+
+    dq, dk_out, dv_out = pl.pallas_call(
+        functools.partial(_sliding_window_attention_packed_bwd_kernel, window=window, tile=tile, m=m),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype),
+            jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),
+            jax.ShapeDtypeStruct((H, Tp, dv_d), v.dtype),
+        ),
+        grid=(H, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, dk_d, tile * m), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, dk_d, tile * m),
+                         lambda h, t: (h, 0, jnp.minimum(t + 1, last))),
+            pl.BlockSpec((1, dv_d, tile * m), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, dv_d, tile * m),
+                         lambda h, t: (h, 0, jnp.minimum(t + 1, last))),
+            pl.BlockSpec((1, dk_d, Tk), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((1, dv_d, Tk), lambda h, t: (h, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, dk_d, tile * m), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, tile, dk_d), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((1, tile, dv_d), lambda h, t: (h, t, 0)),
+        ),
+        interpret=interpret,
+    )(qh, qh, gh, gh, kh, vh)
+    return dq[:, :, :N], dk_out[:, :T], dv_out[:, :T]
+
+
+
+
+# Autodiff entry point for the packed layout.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _swa_packed_ad(q, k, v, window: int, m: int, interpret: bool):
+    return sliding_window_attention_packed_fwd(q, k, v, window, m,
+                                               interpret=interpret)
+
+
+def _swa_packed_fwd_rule(q, k, v, window, m, interpret):
+    return _swa_packed_ad(q, k, v, window, m, interpret), (q, k, v)
+
+
+def _swa_packed_bwd_rule(window, m, interpret, residuals, g):
+    q, k, v = residuals
+    dq, dk, dv = sliding_window_attention_packed_bwd(
+        q, k, v, g, window, m, interpret=interpret)
+    # dk/dv come back (H, T, d); the packed contract is (H, d, T)
+    return dq, dk.transpose(0, 2, 1), dv.transpose(0, 2, 1)
+
+
+_swa_packed_ad.defvjp(_swa_packed_fwd_rule, _swa_packed_bwd_rule)
+
+
+def sliding_window_attention_packed(q, k, v, window: int, m: int,
+                                    use_pallas: bool = True):
+    """Packed-layout dispatch: Pallas on TPU (differentiable via the custom
+    VJP), otherwise converts to head-major and uses the XLA gather path."""
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and on_tpu:
+        return _swa_packed_ad(q, k, v, window, m, False)
+    H, dk, N = q.shape
+    q4 = q.transpose(0, 2, 1).reshape(H, N // m, m, dk)
+    out = sliding_window_attention_xla(
+        q4, k.transpose(0, 2, 1), v.transpose(0, 2, 1), window)
+    return out.reshape(H, N, -1).transpose(0, 2, 1)

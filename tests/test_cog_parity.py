@@ -152,21 +152,21 @@ def test_chain_pallas_interpret_matches_xla(rng):
     out_x = m_x.apply(variables, jnp.asarray(gest), jnp.asarray(feats))
 
     import med_tpu.ops.attention as A
-    orig = A.sliding_window_attention
+    orig = A.sliding_window_attention_packed
 
-    def forced_pallas(q, k, v, window, use_pallas=True):
-        return A.sliding_window_attention_pallas(q, k, v, window, tile=16,
-                                                 interpret=True)
+    def forced_pallas(q, k, v, window, m, use_pallas=True):
+        return A.sliding_window_attention_packed_fwd(q, k, v, window, m,
+                                                     tile=16, interpret=True)
 
-    A.sliding_window_attention = forced_pallas
+    A.sliding_window_attention_packed = forced_pallas
     try:
         import med_tpu.models.cog as cog_mod
-        cog_mod.sliding_window_attention = forced_pallas
+        cog_mod.sliding_window_attention_packed = forced_pallas
         m_p = ChainOfGestureTransformer(f_dim, gest_dim, d_model, d_q, len_q,
                                         n_heads=h, use_pallas=True)
         out_p = m_p.apply(variables, jnp.asarray(gest), jnp.asarray(feats))
     finally:
-        A.sliding_window_attention = orig
-        cog_mod.sliding_window_attention = orig
+        A.sliding_window_attention_packed = orig
+        cog_mod.sliding_window_attention_packed = orig
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-5)

@@ -186,3 +186,45 @@ def test_f1_from_cm_device_matches_host(rng):
             got = float(f1_from_cm_device(jnp.asarray(cm), avg))
             want = metrics_from_cm(cm, avg)["f1"]
             assert got == pytest.approx(want, abs=1e-6), (avg, cm)
+
+
+def test_swa_packed_matches_xla_and_grads(rng):
+    """The packed-layout (lane-major) kernels match the XLA oracle in
+    forward and gradients (interpret mode on CPU)."""
+    import jax
+    from med_tpu.ops.attention import (
+        _swa_packed_ad,
+        sliding_window_attention_packed_bwd,
+        sliding_window_attention_packed_fwd,
+        sliding_window_attention_xla,
+    )
+
+    T, H, M, dk, dv, W = 40, 2, 3, 4, 4, 5
+    q4 = jnp.asarray(rng.normal(size=(H, T, M, dk)), jnp.float32)
+    k4 = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    v4 = jnp.asarray(rng.normal(size=(H, T, dv)), jnp.float32)
+    qT = q4.reshape(H, T * M, dk).transpose(0, 2, 1)
+    kT = k4.transpose(0, 2, 1)
+    vT = v4.transpose(0, 2, 1)
+
+    want = np.asarray(sliding_window_attention_xla(q4, k4, v4, W))
+    got = sliding_window_attention_packed_fwd(qT, kT, vT, W, M, tile=16,
+                                              interpret=True)
+    got4 = np.asarray(got).transpose(0, 2, 1).reshape(H, T, M, dv)
+    np.testing.assert_allclose(got4, want, rtol=1e-4, atol=1e-5)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(_swa_packed_ad(q, k, v, W, M, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sliding_window_attention_xla(q, k, v, W) ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(qT, kT, vT)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q4, k4, v4)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]).transpose(0, 2, 1).reshape(H, T, M, dk),
+        np.asarray(gx[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]).transpose(0, 2, 1),
+                               np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[2]).transpose(0, 2, 1),
+                               np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
