@@ -105,3 +105,55 @@ def load_train_state(path: str, template_state):
     raw = jax.tree.unflatten(treedef, leaves)
     state = raw.replace(rng=jax.random.wrap_key_data(raw.rng))
     return state, epoch + 1
+
+
+# ------------------------------------------------------------------ orbax
+def save_train_state_orbax(directory: str, state, epoch: int) -> None:
+    """Orbax-backed full snapshot (SURVEY.md §5's named TPU equivalent):
+    the same raw TrainState tree as :func:`save_train_state`, written as a
+    sharding-aware Orbax checkpoint directory — for multi-host / sharded
+    states where per-shard parallel IO matters. The ``.npz`` format stays
+    the default (single-file, dependency-light)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    raw = state.replace(rng=jax.random.key_data(state.rng))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.join(os.path.abspath(directory), f"epoch_{epoch}"),
+            {"state": jax.tree.map(np.asarray, raw), "epoch": epoch},
+        )
+
+
+def load_train_state_orbax(directory: str, template_state):
+    """Restore the latest Orbax snapshot under ``directory`` into the
+    structure of ``template_state``. Returns (state, next_epoch)."""
+    import re as _re
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    epochs = sorted(
+        int(m.group(1))
+        for d in os.listdir(directory)
+        if (m := _re.fullmatch(r"epoch_(\d+)", d))
+    )
+    if not epochs:
+        raise FileNotFoundError(f"no epoch_* checkpoints under {directory}")
+    raw_template = template_state.replace(
+        rng=jax.random.key_data(template_state.rng)
+    )
+    target = {
+        "state": jax.tree.map(np.asarray, raw_template),
+        "epoch": epochs[-1],
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.join(directory, f"epoch_{epochs[-1]}"), target
+        )
+    raw = jax.tree.unflatten(
+        jax.tree.structure(raw_template), jax.tree.leaves(restored["state"])
+    )
+    state = raw.replace(rng=jax.random.wrap_key_data(raw.rng))
+    return state, int(restored["epoch"]) + 1

@@ -63,3 +63,34 @@ def test_train_state_roundtrip(tmp_path, rng):
     # restored state is usable
     restored, m = exp.train_step(restored, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_orbax_train_state_roundtrip(tmp_path, rng):
+    """Orbax-backed snapshot (sharded-IO variant) restores exactly."""
+    import jax
+    import numpy as np
+
+    from med_tpu.train.checkpoint import (
+        load_train_state_orbax,
+        save_train_state_orbax,
+    )
+    from med_tpu.train.engine import Experiment
+    from tests.test_engine import synth_window_batch
+
+    cfg = ExperimentConfig(model_name="SimpleCNN")
+    exp = Experiment(cfg)
+    batch = synth_window_batch(rng, cfg, B=8)
+    state = exp.init_state(jax.random.key(0), batch)
+    state, _ = exp.train_step(state, batch)
+
+    save_train_state_orbax(str(tmp_path / "ckpts"), state, epoch=4)
+    template = exp.init_state(jax.random.key(1), batch)
+    restored, next_epoch = load_train_state_orbax(
+        str(tmp_path / "ckpts"), template)
+    assert next_epoch == 5
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
