@@ -371,7 +371,7 @@ def sliding_window_attention(q, k, v, window: int, use_pallas: bool = True):
 KH = 256  # key-halo lane-slice size (>= tile + window - 1, 128-aligned)
 
 
-def _band_t(rows, cols, m, window, scores_dtype):
+def _band_t(rows, cols, m, window):
     """in_band[j, n]: key j (local halo row) serves query frame n//m."""
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
@@ -379,7 +379,7 @@ def _band_t(rows, cols, m, window, scores_dtype):
     return (row >= frame) & (row < frame + window)
 
 
-def _sliding_window_attention_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m):
+def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m):
     i = pl.program_id(1)
     dk = q_ref.shape[1]
     n = tile * m
@@ -390,7 +390,7 @@ def _sliding_window_attention_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, w
         kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / math.sqrt(dk)                              # (KH, tile*m)
-    in_band = _band_t(KH, n, m, window, scores.dtype)
+    in_band = _band_t(KH, n, m, window)
     neg = jnp.finfo(scores.dtype).min
     smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
     p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
@@ -418,7 +418,7 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
 
     out = pl.pallas_call(
-        functools.partial(_sliding_window_attention_packed_fwd_kernel, window=window, tile=tile, m=m),
+        functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m),
         out_shape=jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
         grid=(H, n_tiles),
         in_specs=[
@@ -432,7 +432,7 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     return out[:, :, :N]
 
 
-def _sliding_window_attention_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
+def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
                       dq_ref, dk_ref, dv_ref, *, window, tile, m):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -449,7 +449,7 @@ def _sliding_window_attention_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, 
         kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / math.sqrt(dk_d)                            # (KH, qn)
-    in_band = _band_t(KH, qn, m, window, scores.dtype)
+    in_band = _band_t(KH, qn, m, window)
     neg = jnp.finfo(scores.dtype).min
     smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
     p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
@@ -504,7 +504,7 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
     last = n_tiles - 1
 
     dq, dk_out, dv_out = pl.pallas_call(
-        functools.partial(_sliding_window_attention_packed_bwd_kernel, window=window, tile=tile, m=m),
+        functools.partial(_swa_packed_bwd_kernel, window=window, tile=tile, m=m),
         out_shape=(
             jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype),
             jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),
