@@ -533,11 +533,60 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
 
 
 
+# vmap support: jax's generic pallas batching inserts the mapped axis as a
+# squeezed interior block dim, which the TPU lowering rejects (last-two-dims
+# tiling). The kernels are head-parallel, so batching folds EXACTLY into the
+# leading head/grid axis instead: (B, H, d, N) -> (B*H, d, N).
+@functools.lru_cache(maxsize=None)
+def _packed_fwd_batched(window: int, m: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(q, k, v):
+        return sliding_window_attention_packed_fwd(q, k, v, window, m,
+                                                   interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, k, v):  # noqa: ANN001
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        q, k, v = (bc(x, b) for x, b in zip((q, k, v), in_batched))
+        B, H = q.shape[:2]
+        out = f(q.reshape((B * H,) + q.shape[2:]),
+                k.reshape((B * H,) + k.shape[2:]),
+                v.reshape((B * H,) + v.shape[2:]))
+        return out.reshape((B, H) + out.shape[1:]), True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_bwd_batched(window: int, m: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(q, k, v, g):
+        return sliding_window_attention_packed_bwd(q, k, v, g, window, m,
+                                                   interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, g):  # noqa: ANN001
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        q, k, v, g = (bc(x, b) for x, b in zip((q, k, v, g), in_batched))
+        B, H = q.shape[:2]
+        outs = f(q.reshape((B * H,) + q.shape[2:]),
+                 k.reshape((B * H,) + k.shape[2:]),
+                 v.reshape((B * H,) + v.shape[2:]),
+                 g.reshape((B * H,) + g.shape[2:]))
+        return (tuple(o.reshape((B, H) + o.shape[1:]) for o in outs),
+                (True, True, True))
+
+    return f
+
+
 # Autodiff entry point for the packed layout.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _swa_packed_ad(q, k, v, window: int, m: int, interpret: bool):
-    return sliding_window_attention_packed_fwd(q, k, v, window, m,
-                                               interpret=interpret)
+    return _packed_fwd_batched(window, m, interpret)(q, k, v)
 
 
 def _swa_packed_fwd_rule(q, k, v, window, m, interpret):
@@ -546,8 +595,7 @@ def _swa_packed_fwd_rule(q, k, v, window, m, interpret):
 
 def _swa_packed_bwd_rule(window, m, interpret, residuals, g):
     q, k, v = residuals
-    dq, dk, dv = sliding_window_attention_packed_bwd(
-        q, k, v, g, window, m, interpret=interpret)
+    dq, dk, dv = _packed_bwd_batched(window, m, interpret)(q, k, v, g)
     # dk/dv come back (H, T, d); the packed contract is (H, d, T)
     return dq, dk.transpose(0, 2, 1), dv.transpose(0, 2, 1)
 

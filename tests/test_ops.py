@@ -228,3 +228,36 @@ def test_swa_packed_matches_xla_and_grads(rng):
                                np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp[2]).transpose(0, 2, 1),
                                np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
+
+
+def test_swa_packed_vmap_grads_match_xla(rng):
+    """vmap over the packed custom-VJP path (the trial-parallel /
+    fold-parallel regime): jax's generic pallas batching inserts a squeezed
+    interior block dim that the TPU lowering rejects, so the op carries a
+    custom_vmap rule folding the batch axis into the head grid axis."""
+    import jax
+    from med_tpu.ops.attention import _swa_packed_ad, sliding_window_attention_xla
+
+    T, H, M, dk, W, B = 40, 2, 3, 4, 5, 3
+    q4 = jnp.asarray(rng.normal(size=(B, H, T, M, dk)), jnp.float32)
+    k4 = jnp.asarray(rng.normal(size=(B, H, T, dk)), jnp.float32)
+    v4 = jnp.asarray(rng.normal(size=(B, H, T, dk)), jnp.float32)
+    qT = q4.reshape(B, H, T * M, dk).transpose(0, 1, 3, 2)
+    kT = k4.transpose(0, 1, 3, 2)
+    vT = v4.transpose(0, 1, 3, 2)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(_swa_packed_ad(q, k, v, W, M, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sliding_window_attention_xla(q, k, v, W) ** 2)
+
+    gp = jax.vmap(jax.grad(loss_packed, argnums=(0, 1, 2)))(qT, kT, vT)
+    gx = jax.vmap(jax.grad(loss_xla, argnums=(0, 1, 2)))(q4, k4, v4)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]).transpose(0, 1, 3, 2).reshape(B, H, T, M, dk),
+        np.asarray(gx[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]).transpose(0, 1, 3, 2),
+                               np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[2]).transpose(0, 1, 3, 2),
+                               np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
