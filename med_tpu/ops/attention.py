@@ -368,7 +368,14 @@ def sliding_window_attention(q, k, v, window: int, use_pallas: bool = True):
 #   k: (H, dk, T)  v: (H, dv, T)   out: (H, dv, N)
 # ---------------------------------------------------------------------------
 
-KH = 256  # key-halo lane-slice size (>= tile + window - 1, 128-aligned)
+def _key_halo(tile: int, window: int) -> int:
+    """Key-halo lane-slice size, 128-aligned. The forward needs
+    tile + window - 1 local keys per tile; the merged backward also re-serves
+    the (window-1)*m extension queries of the next tile, whose last in-band
+    key sits at local row tile - 1 + 2*(window-1). Deriving (rather than
+    pinning 256) keeps windows > 65 correct with the default tile=128."""
+    need = tile + 2 * (window - 1)
+    return ((need + 127) // 128) * 128
 
 
 def _band_t(rows, cols, m, window):
@@ -379,18 +386,18 @@ def _band_t(rows, cols, m, window):
     return (row >= frame) & (row < frame + window)
 
 
-def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m):
+def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m, kh):
     i = pl.program_id(1)
     dk = q_ref.shape[1]
     n = tile * m
     q = q_ref[0]                                  # (dk, tile*m)
-    kk = k_ref[0, :, pl.ds(i * tile, KH)]          # (dk, KH)
-    vv = v_ref[0, :, pl.ds(i * tile, KH)]          # (dv, KH)
+    kk = k_ref[0, :, pl.ds(i * tile, kh)]          # (dk, kh)
+    vv = v_ref[0, :, pl.ds(i * tile, kh)]          # (dv, kh)
     scores = jax.lax.dot_general(
         kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk)                              # (KH, tile*m)
-    in_band = _band_t(KH, n, m, window)
+    ) / math.sqrt(dk)                              # (kh, tile*m)
+    in_band = _band_t(kh, n, m, window)
     neg = jnp.finfo(scores.dtype).min
     smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
     p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
@@ -411,14 +418,16 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     T = N // m
     Tp = ((T + tile - 1) // tile) * tile
     n_tiles = Tp // tile
-    Tk = Tp + KH  # left halo (window-1 zeros) + right safety padding
+    halo = _key_halo(tile, window)
+    Tk = Tp + halo  # left halo (window-1 zeros) + right safety padding
 
     qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
 
     out = pl.pallas_call(
-        functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m),
+        functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m,
+                          kh=halo),
         out_shape=jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
         grid=(H, n_tiles),
         in_specs=[
@@ -433,7 +442,7 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
 
 
 def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
-                      dq_ref, dk_ref, dv_ref, *, window, tile, m):
+                      dq_ref, dk_ref, dv_ref, *, window, tile, m, kh):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     dk_d = qa_ref.shape[1]
@@ -442,28 +451,28 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
     q = jnp.concatenate([qa_ref[0], qb_ref[0][:, :ext]], axis=1)  # (dk, qn)
     g = jnp.concatenate([ga_ref[0], gb_ref[0][:, :ext]], axis=1)  # (dv, qn)
     qn = n + ext
-    kk = k_ref[0, :, pl.ds(i * tile, KH)]
-    vv = v_ref[0, :, pl.ds(i * tile, KH)]
+    kk = k_ref[0, :, pl.ds(i * tile, kh)]
+    vv = v_ref[0, :, pl.ds(i * tile, kh)]
 
     scores = jax.lax.dot_general(
         kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk_d)                            # (KH, qn)
-    in_band = _band_t(KH, qn, m, window)
+    ) / math.sqrt(dk_d)                            # (kh, qn)
+    in_band = _band_t(kh, qn, m, window)
     neg = jnp.finfo(scores.dtype).min
     smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
     p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-    a = p / jnp.sum(p, axis=0, keepdims=True)      # (KH, qn)
+    a = p / jnp.sum(p, axis=0, keepdims=True)      # (kh, qn)
 
     # zero non-existent extension queries (clamped duplicate, last tile)
-    col = jax.lax.broadcasted_iota(jnp.int32, (KH, qn), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 1)
     valid = (i * tile + col // m) < n_tiles * tile
     a = jnp.where(valid, a, 0.0)
 
     da = jax.lax.dot_general(
         vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (KH, qn)
+    )                                              # (kh, qn)
     da = jnp.where(in_band, da, 0.0)
     ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True)) / math.sqrt(dk_d)
 
@@ -495,7 +504,8 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
     T = N // m
     Tp = ((T + tile - 1) // tile) * tile
     n_tiles = Tp // tile
-    Tk = Tp + KH
+    halo = _key_halo(tile, window)
+    Tk = Tp + halo
 
     qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     gh = jnp.pad(g, ((0, 0), (0, 0), (0, (Tp - T) * m)))
@@ -504,7 +514,8 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
     last = n_tiles - 1
 
     dq, dk_out, dv_out = pl.pallas_call(
-        functools.partial(_swa_packed_bwd_kernel, window=window, tile=tile, m=m),
+        functools.partial(_swa_packed_bwd_kernel, window=window, tile=tile, m=m,
+                          kh=halo),
         out_shape=(
             jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype),
             jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),

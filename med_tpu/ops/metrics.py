@@ -97,12 +97,18 @@ def f1_from_cm_device(cm: jnp.ndarray, average: str = "binary") -> jnp.ndarray:
     :func:`metrics_from_cm` (sklearn semantics: zero-division -> 0;
     macro/weighted average over labels present in y_true or y_pred).
     ``average`` is static; returns a fp32 scalar."""
-    cm = cm.astype(jnp.float32)
-    tp = jnp.diag(cm)
-    fp = jnp.sum(cm, axis=0) - tp
-    fn = jnp.sum(cm, axis=1) - tp
-    precision = jnp.where(tp + fp > 0, tp / jnp.maximum(tp + fp, 1), 0.0)
-    recall = jnp.where(tp + fn > 0, tp / jnp.maximum(tp + fn, 1), 0.0)
+    # accumulate counts in int32 (exact to 2^31, vs ~2^24 for fp32) and cast
+    # only the final ratios, so device selection agrees with the float64 host
+    # metric on large eval folds
+    cm = cm.astype(jnp.int32)
+    tp_i = jnp.diag(cm)
+    fp_i = jnp.sum(cm, axis=0) - tp_i
+    fn_i = jnp.sum(cm, axis=1) - tp_i
+    tp = tp_i.astype(jnp.float32)
+    fp = fp_i.astype(jnp.float32)
+    fn = fn_i.astype(jnp.float32)
+    precision = jnp.where(tp_i + fp_i > 0, tp / jnp.maximum(tp + fp, 1), 0.0)
+    recall = jnp.where(tp_i + fn_i > 0, tp / jnp.maximum(tp + fn, 1), 0.0)
     f1 = jnp.where(
         precision + recall > 0,
         2 * precision * recall / jnp.maximum(precision + recall, 1e-30),

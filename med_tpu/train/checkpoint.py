@@ -118,10 +118,13 @@ def save_train_state_orbax(directory: str, state, epoch: int) -> None:
     import orbax.checkpoint as ocp
 
     raw = state.replace(rng=jax.random.key_data(state.rng))
+    # Hand Orbax the jax arrays WITH their shardings — gathering to host
+    # numpy first would serialize the save through one host and break on
+    # non-fully-addressable arrays, defeating per-shard parallel IO.
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
             os.path.join(os.path.abspath(directory), f"epoch_{epoch}"),
-            {"state": jax.tree.map(np.asarray, raw), "epoch": epoch},
+            {"state": raw, "epoch": epoch},
         )
 
 
@@ -144,10 +147,9 @@ def load_train_state_orbax(directory: str, template_state):
     raw_template = template_state.replace(
         rng=jax.random.key_data(template_state.rng)
     )
-    target = {
-        "state": jax.tree.map(np.asarray, raw_template),
-        "epoch": epochs[-1],
-    }
+    # the template's jax arrays carry shapes/dtypes/shardings: restore lands
+    # each shard directly on its devices
+    target = {"state": raw_template, "epoch": epochs[-1]}
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             os.path.join(directory, f"epoch_{epochs[-1]}"), target

@@ -230,6 +230,45 @@ def test_swa_packed_matches_xla_and_grads(rng):
                                np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
 
 
+def test_swa_packed_wide_window_grads(rng):
+    """Window wider than the old fixed 256-lane key halo allowed at
+    tile=128 (needs tile + 2*(window-1) halo keys in the merged backward):
+    the halo is now derived per-call, so wide windows stay exact instead of
+    silently dropping in-band keys."""
+    import jax
+    from med_tpu.ops.attention import (
+        _key_halo,
+        _swa_packed_ad,
+        sliding_window_attention_xla,
+    )
+
+    T, H, M, dk, W = 200, 1, 2, 4, 80
+    assert 128 + 2 * (W - 1) > 256  # the regime the fixed halo got wrong
+    assert _key_halo(128, W) == 384
+    q4 = jnp.asarray(rng.normal(size=(H, T, M, dk)), jnp.float32)
+    k4 = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    v4 = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    qT = q4.reshape(H, T * M, dk).transpose(0, 2, 1)
+    kT = k4.transpose(0, 2, 1)
+    vT = v4.transpose(0, 2, 1)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(_swa_packed_ad(q, k, v, W, M, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sliding_window_attention_xla(q, k, v, W) ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(qT, kT, vT)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q4, k4, v4)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]).transpose(0, 2, 1).reshape(H, T, M, dk),
+        np.asarray(gx[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]).transpose(0, 2, 1),
+                               np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[2]).transpose(0, 2, 1),
+                               np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
+
+
 def test_swa_packed_vmap_grads_match_xla(rng):
     """vmap over the packed custom-VJP path (the trial-parallel /
     fold-parallel regime): jax's generic pallas batching inserts a squeezed
