@@ -30,16 +30,19 @@ import numpy as np
 
 from ..data.consensus import find_consensus_folder, segments_from_consensus_csvs
 from ..data.preprocessing import (
+    TRIAL_GESTURE_PURGES,
     gestures_for_frames,
     parse_transcript_file,
     process_kinematics_array,
     purge_gestures,
+    trial_purge_mask,
     errors_for_frames,
 )
 from ..data.trials import Trial, save_trial_npz
 
 
-def process_trial(raw_root: str, trial_name: str, frequency: int) -> Trial:
+def process_trial(raw_root: str, trial_name: str, frequency: int,
+                  trial_purges=None) -> Trial:
     kin_raw = np.loadtxt(os.path.join(raw_root, "kinematics", trial_name + ".txt"))
     transcript = parse_transcript_file(
         os.path.join(raw_root, "transcriptions", trial_name + ".txt")
@@ -72,6 +75,10 @@ def process_trial(raw_root: str, trial_name: str, frequency: int) -> Trial:
         e_labels = np.zeros((len(frames), 5), np.int64)
 
     keep = purge_gestures(gestures)  # drop gestures 10/11
+    # per-trial corrupt-data purge (reference data_processing.ipynb "Delete
+    # Gesture 9 from Needle_Passing_C005.pkl" cell): default rule drops all
+    # gesture-9 frames from that one trial
+    keep &= trial_purge_mask(trial_name, gestures, trial_purges)
     feats, frames, gestures, e_labels = (
         feats[keep], frames[keep], gestures[keep], e_labels[keep]
     )
@@ -92,7 +99,22 @@ def main(argv=None):
     p.add_argument("--frequency", type=int, default=5)
     p.add_argument("--fold-spec", required=True,
                    help="JSON: {fold: {'train': [trials], 'test': [trials]}}")
+    p.add_argument("--trial-purge", action="append", default=None,
+                   metavar="TRIAL:G[,G…]",
+                   help="per-trial gesture purge rule(s), e.g. "
+                        "'Needle_Passing_C005:9' (the reference default); "
+                        "pass 'none' to disable all per-trial purges")
     args = p.parse_args(argv)
+
+    if args.trial_purge is None:
+        trial_purges = TRIAL_GESTURE_PURGES
+    elif args.trial_purge == ["none"]:
+        trial_purges = {}
+    else:
+        trial_purges = {}
+        for spec in args.trial_purge:
+            name, _, gs = spec.partition(":")
+            trial_purges[name] = tuple(int(g) for g in gs.split(",") if g)
 
     with open(args.fold_spec) as f:
         folds = json.load(f)
@@ -103,7 +125,8 @@ def main(argv=None):
             for t in names:
                 if t not in trials:
                     print(f"processing {t}…")
-                    trials[t] = process_trial(args.raw_root, t, args.frequency)
+                    trials[t] = process_trial(args.raw_root, t, args.frequency,
+                                              trial_purges=trial_purges)
 
     from ..data.trials import compute_fold_stats, save_fold_stats
 

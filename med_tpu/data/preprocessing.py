@@ -146,6 +146,35 @@ def purge_gestures(
     return ~np.isin(g, remove)
 
 
+# Per-trial corrupt-data purges. The reference post-processes the packaged
+# fold data and deletes every gesture-9 frame from the one corrupt trial
+# (notebooks/data_processing.ipynb "Delete Gesture 9 from
+# Needle_Passing_C005.pkl" cell: indices_to_delete = [i for i, g in
+# enumerate(data['g_labels']) if g == 9], applied to every key in every
+# fold). Here the same rule is applied at trial-packaging time, which lands
+# on identical fold contents since the purge is per-trial.
+TRIAL_GESTURE_PURGES: Dict[str, Tuple[int, ...]] = {
+    "Needle_Passing_C005": (9,),
+}
+
+
+def trial_purge_mask(
+    trial_name: str,
+    gestures: np.ndarray,
+    trial_purges: Optional[Dict[str, Tuple[int, ...]]] = None,
+) -> np.ndarray:
+    """Keep-mask for a trial's per-trial gesture purge (identity mask for
+    trials with no rule). ``trial_purges`` defaults to the reference's
+    :data:`TRIAL_GESTURE_PURGES`."""
+    if trial_purges is None:
+        trial_purges = TRIAL_GESTURE_PURGES
+    remove = trial_purges.get(trial_name)
+    g = np.asarray(gestures)
+    if not remove:
+        return np.ones(g.shape, bool)
+    return ~np.isin(g, tuple(remove))
+
+
 def parse_transcript_file(path: str) -> List[Tuple[int, int, int]]:
     """'start end G#' rows -> [(start, end, gesture_int)]."""
     rows = []

@@ -38,6 +38,53 @@ def make_raw_trial(root, name, rng, n30=600):
         json.dump(segments, f)
 
 
+def test_trial_purge_mask_golden(rng):
+    """Literal oracle for the reference's per-trial gesture-9 purge
+    (data_processing.ipynb 'Delete Gesture 9 from Needle_Passing_C005.pkl':
+    indices_to_delete = [i for i, g in enumerate(g_labels) if g == 9])."""
+    from med_tpu.data.preprocessing import trial_purge_mask
+
+    g = rng.integers(1, 12, size=200)
+    keep = trial_purge_mask("Needle_Passing_C005", g)
+    indices_to_delete = [i for i, gg in enumerate(g) if gg == 9]
+    assert sorted(np.nonzero(~keep)[0].tolist()) == indices_to_delete
+    # only that one trial carries a rule
+    assert trial_purge_mask("Needle_Passing_B001", g).all()
+    assert trial_purge_mask("Suturing_C005", g).all()
+    # override table
+    custom = trial_purge_mask("X", g, {"X": (3, 9)})
+    assert (custom == ~np.isin(g, (3, 9))).all()
+
+
+def test_preprocess_purges_gesture9_from_corrupt_trial(tmp_path, rng):
+    """The CLI drops gesture-9 frames from Needle_Passing_C005 only
+    (reference data_processing.ipynb 'Delete Gesture 9' cell), and
+    --trial-purge none disables the rule."""
+    for flags, expect_g9 in (([], False), (["--trial-purge", "none"], True)):
+        raw = str(tmp_path / f"raw{expect_g9}")
+        out = str(tmp_path / f"folds{expect_g9}")
+        names = ["Needle_Passing_C005", "Needle_Passing_B001"]
+        for n in names:
+            make_raw_trial(raw, n, rng)
+            # append a gesture-9 segment to each transcription
+            with open(os.path.join(raw, "transcriptions", n + ".txt"), "a") as f:
+                f.write("541 590 G9\n")
+        spec = {"1Out": {"train": names[:1], "test": names[1:]}}
+        spec_path = str(tmp_path / f"folds{expect_g9}.json")
+        with open(spec_path, "w") as f:
+            json.dump(spec, f)
+        cli_pre.main(["--raw-root", raw, "--output-root", out,
+                      "--frequency", "5", "--fold-spec", spec_path] + flags)
+
+        from med_tpu.data.trials import load_trial
+
+        fold_dir = os.path.join(out, "1Out")
+        corrupt = load_trial(os.path.join(fold_dir, names[0] + ".npz"))
+        clean = load_trial(os.path.join(fold_dir, names[1] + ".npz"))
+        assert (9 in corrupt.g_labels) == expect_g9
+        assert 9 in clean.g_labels  # the rule is per-trial, not global
+
+
 def test_preprocess_to_training(tmp_path, rng):
     raw = str(tmp_path / "raw")
     out = str(tmp_path / "folds")
