@@ -74,7 +74,16 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
     rng = jax.random.key(args.seed)
     sample = jnp.zeros((args.batch_size, *train_imgs.shape[1:3], 3), jnp.float32)
     variables = model.init({"params": rng}, sample, train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    params, batch_stats = dict(variables["params"]), dict(variables["batch_stats"])
+    if args.init_weights:
+        # pretrained trunk start (reference resnet_finetuning.ipynb cell 7:
+        # resnet50(pretrained=True)); the fc head stays freshly initialized,
+        # exactly like the reference's replaced head
+        from ..models.resnet import load_pretrained_trunk
+
+        trunk_params, trunk_stats = load_pretrained_trunk(args.init_weights)
+        params["trunk"] = jax.tree.map(jnp.asarray, trunk_params)
+        batch_stats["trunk"] = jax.tree.map(jnp.asarray, trunk_stats)
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
@@ -182,6 +191,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--init-weights", default=None,
+                   help="torchvision-format resnet50 weights (.pth/.pt/.npz) "
+                        "to start the trunk from (the reference starts from "
+                        "ImageNet pretrained weights)")
     args = p.parse_args(argv)
 
     tracker = RunTracker(root=args.runs_root, experiment="ResNet50_finetune")

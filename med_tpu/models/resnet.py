@@ -149,3 +149,24 @@ def import_torchvision_resnet50(state_dict: Dict[str, Any]) -> Tuple[dict, dict]
             params[dst] = p
             stats[dst] = s
     return params, stats
+
+
+def load_pretrained_trunk(path: str) -> Tuple[dict, dict]:
+    """Load ImageNet (or any torchvision-format) resnet50 weights from a
+    torch ``.pth``/``.pt`` blob or an ``.npz`` of the same key layout and
+    return (params, batch_stats) for :class:`ResNet50`. This is the
+    fine-tune driver's pretrained start (the reference begins from
+    ``torchvision.models.resnet50(pretrained=True)``,
+    notebooks/resnet_finetuning.ipynb cell 7)."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            sd = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    return import_torchvision_resnet50(sd)

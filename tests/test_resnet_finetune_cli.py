@@ -33,6 +33,86 @@ def make_raw_fold(tmp_path, rng, n_trials=3, frames=16, hw=32):
     return str(tmp_path)
 
 
+def fake_torchvision_sd(rng):
+    """Random weights in torchvision resnet50 state_dict layout (the image
+    has no torchvision; only the key/shape contract matters)."""
+    sd = {}
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".bias"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".running_var"] = (rng.random(c) + 0.5).astype(np.float32)
+
+    def conv(prefix, cout, cin, k):
+        sd[prefix + ".weight"] = rng.normal(
+            size=(cout, cin, k, k)).astype(np.float32) * 0.05
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    c_in = 64
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        w = 64 * 2 ** stage
+        for block in range(n_blocks):
+            src = f"layer{stage + 1}.{block}"
+            conv(f"{src}.conv1", w, c_in, 1)
+            bn(f"{src}.bn1", w)
+            conv(f"{src}.conv2", w, w, 3)
+            bn(f"{src}.bn2", w)
+            conv(f"{src}.conv3", w * 4, w, 1)
+            bn(f"{src}.bn3", w * 4)
+            if block == 0:
+                conv(f"{src}.downsample.0", w * 4, c_in, 1)
+                bn(f"{src}.downsample.1", w * 4)
+            c_in = w * 4
+    return sd
+
+
+def test_load_pretrained_trunk_roundtrip(tmp_path, rng):
+    """load_pretrained_trunk maps a torchvision-layout .pth into ResNet50
+    variables that the model accepts, with exact value round-trip."""
+    import torch
+
+    from med_tpu.models.resnet import ResNet50, load_pretrained_trunk
+
+    sd = fake_torchvision_sd(rng)
+    path = str(tmp_path / "resnet50.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    params, stats = load_pretrained_trunk(path)
+    np.testing.assert_array_equal(
+        params["conv1"]["kernel"], sd["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        stats["layer3_2"]["bn2"]["mean"], sd["layer3.2.bn2.running_mean"])
+    # the tree drops into the model without shape errors
+    import jax.numpy as jnp
+
+    out = ResNet50().apply({"params": params, "batch_stats": stats},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out.shape == (1, 2048)
+
+
+def test_resnet_finetune_with_init_weights(tmp_path, rng):
+    """--init-weights starts the trunk from the imported weights (reference
+    pretrained=True start, resnet_finetuning.ipynb cell 7)."""
+    import torch
+
+    sd = fake_torchvision_sd(rng)
+    wpath = str(tmp_path / "imagenet.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, wpath)
+    data_root = make_raw_fold(tmp_path / "raw", rng, n_trials=2, frames=8)
+    out_root = str(tmp_path / "features")
+    resnet_finetune.main(
+        ["--data-root", data_root, "--output-root", out_root,
+         "--folds", "1Out", "--runs-root", str(tmp_path / "runs"),
+         "--batch-size", "4", "--n-epochs", "1", "--no-augment",
+         "--init-weights", wpath]
+    )
+    from med_tpu.data.trials import load_fold
+
+    img, kin, g, e, subj = load_fold(os.path.join(out_root, "1Out"), "test.csv")
+    assert img.shape == (8, 2048)
+
+
 def test_resnet_finetune_and_export(tmp_path, rng):
     data_root = make_raw_fold(tmp_path / "raw", rng)
     out_root = str(tmp_path / "features")
