@@ -12,7 +12,12 @@ import os
 import numpy as np
 
 from ..config import LOSO_FOLDS
-from ..eval.ensemble import cascade_ensemble, score_predictions, soft_vote
+from ..eval.ensemble import (
+    cascade_ensemble,
+    reconcile_nd,
+    score_predictions,
+    soft_vote,
+)
 from ..eval.summary import weighted_mean_std
 from ..tracking import RunTracker
 
@@ -49,6 +54,17 @@ def main(argv=None):
         print(f"overlap: both={ov['both_correct']:.3f} "
               f"one={ov['exactly_one_correct']:.3f} "
               f"neither={ov['both_wrong']:.3f}")
+    else:
+        # cascade: a delete_ND=False binary run is longer than a
+        # delete_ND=True multiclass run — reconcile onto the multiclass
+        # window set (reference ensemble.ipynb cell 15 mask surgery)
+        for out in folds:
+            na = len(np.asarray(dumps_a[out]["preds"]))
+            nb = len(np.asarray(dumps_b[out]["preds"]))
+            if na != nb:
+                dumps_a[out] = reconcile_nd(dumps_a[out], dumps_b[out])
+                print(f"[{out}] reconciled ND rows: binary {na} -> "
+                      f"{len(np.asarray(dumps_a[out]['preds']))}")
 
     f1s, accs, jacs, weights = [], [], [], []
     mc_f1s, mc_accs, mc_jacs = [], [], []
@@ -62,8 +78,12 @@ def main(argv=None):
         else:
             labels_mc = np.asarray(db["labels"])
             casc = cascade_ensemble(np.asarray(da["preds"]), np.asarray(db["preds"]))
+            # binary metric vs the binary run's own (reconciled) labels
+            # (reference cell 15 scores vs test_all_labels_specific_binary)
+            y_bin = labels_a if len(labels_a) == len(casc) else (
+                labels_mc > 0).astype(int)
             bin_m, _ = score_predictions(
-                (labels_mc > 0).astype(int), (casc > 0).astype(int), 2, "binary"
+                y_bin, (casc > 0).astype(int), 2, "binary"
             )
             mc_m, _ = score_predictions(labels_mc, casc, 6, "weighted")
             m = bin_m

@@ -32,6 +32,49 @@ def cascade_ensemble(binary_preds: np.ndarray, multiclass_preds: np.ndarray):
     return np.where(b == 1, m, 0)
 
 
+def reconcile_nd(dump_binary: Dict, dump_multiclass: Dict) -> Dict:
+    """Align a ``delete_ND=False`` binary run's dump onto a ``delete_ND=True``
+    multiclass run's window/frame set (reference ensemble.ipynb cell 15
+    "Pre i-iv": load ``mask_position_ND_<trial>.pth``, expand over the
+    subject's positions, drop those rows from the binary preds/labels before
+    fusing).
+
+    The reference records the dropped positions in side-channel ``.pth``
+    files at preprocessing time; here the drop mask is *recomputed* from the
+    binary dump's own raw 5-col labels via the same powerset rule
+    (``powerset_error_labels(..., delete_ND=True)``,
+    dataset_utils.py:761-845) — the mask marks exactly the rows whose only
+    error is Needle-Drop, which are the rows the multiclass run's loader
+    deleted. Returns a new binary dump filtered to the surviving rows; the
+    caller re-checks alignment afterwards.
+    """
+    from ..data.labels import powerset_error_labels
+
+    raw = dump_binary.get("raw_labels")
+    if raw is None:
+        raise ValueError(
+            "cannot reconcile ND-dropped runs: the binary dump carries no "
+            "raw_labels to recompute the Needle-Drop mask from"
+        )
+    raw = np.asarray(raw)
+    _, nd_mask = powerset_error_labels(raw, delete_ND=True)
+    keep = ~nd_mask
+    n_mc = len(np.asarray(dump_multiclass["preds"]))
+    if int(keep.sum()) != n_mc:
+        raise ValueError(
+            f"ND reconciliation failed: binary run keeps {int(keep.sum())} "
+            f"rows after dropping Needle-Drop-only rows but the multiclass "
+            f"run has {n_mc}"
+        )
+    out = dict(dump_binary)
+    for key in ("preds", "probs", "labels", "raw_labels", "gestures",
+                "subjects"):
+        v = dump_binary.get(key)
+        if v is not None and len(v) == len(keep):
+            out[key] = np.asarray(v)[keep]
+    return out
+
+
 def score_predictions(
     labels: np.ndarray, preds: np.ndarray, n_classes: int, average: str
 ) -> Tuple[Dict[str, float], np.ndarray]:

@@ -147,3 +147,60 @@ def test_summary_and_ensembles(rng):
     assert (casc[b == 1] == mc[b == 1]).all()
     m, cm = score_predictions(rng.integers(0, 6, 100), casc, 6, "macro")
     assert 0 <= m["f1"] <= 1
+
+
+def test_reconcile_nd_matches_reference_mask_surgery(rng):
+    """reconcile_nd reproduces the reference's mask_position_ND_* surgery
+    (ensemble.ipynb cell 15 "Pre i-iv"): the delete_ND=False binary run's
+    ND-only rows are dropped so it lands on the delete_ND=True multiclass
+    run's row set, per-subject."""
+    from med_tpu.data.labels import powerset_error_labels
+    from med_tpu.eval.ensemble import reconcile_nd
+
+    n = 120
+    subjects = np.array(["B001"] * 40 + ["C005"] * 40 + ["D001"] * 40)
+    raw = np.zeros((n, 5), np.int64)
+    # sprinkle generic errors everywhere
+    err_rows = rng.random(n) < 0.5
+    raw[err_rows, 4] = 1
+    raw[err_rows & (rng.random(n) < 0.5), 0] = 1  # OOV
+    # ND-only rows confined to ONE subject (the reference's one mask file)
+    nd_rows = np.zeros(n, bool)
+    nd_rows[45:55] = True
+    raw[nd_rows] = 0
+    raw[nd_rows, 1] = 1  # ND flag (labels.py column order OOV,ND,MA,NP,ERR)
+    raw[nd_rows, 4] = 1  # error flag
+    labels_bin = (raw[:, 4] == 1).astype(int)
+    preds_bin = rng.integers(0, 2, n)
+    probs_bin = rng.random(n)
+
+    # the multiclass (delete_ND=True) run saw only the surviving rows
+    _, nd_mask = powerset_error_labels(raw, delete_ND=True)
+    assert nd_mask.sum() == 10 and (subjects[nd_mask] == "C005").all()
+    keep = ~nd_mask
+    preds_mc = rng.integers(0, 6, int(keep.sum()))
+
+    dump_bin = {"preds": preds_bin, "probs": probs_bin, "labels": labels_bin,
+                "raw_labels": raw, "subjects": subjects,
+                "gestures": np.ones(n, np.int64)}
+    dump_mc = {"preds": preds_mc}
+    rec = reconcile_nd(dump_bin, dump_mc)
+
+    # literal notebook oracle: expand the subject's saved mask over the
+    # subject's indices, then delete those positions from the binary arrays
+    mask_position_ND = nd_mask[subjects == "C005"]  # the .pth payload
+    subject_indices_ND = np.where(subjects == "C005")[0]
+    expanded = np.zeros(n, bool)
+    expanded[subject_indices_ND] = mask_position_ND
+    np.testing.assert_array_equal(rec["preds"], preds_bin[~expanded])
+    np.testing.assert_array_equal(rec["labels"],
+                                  np.asarray(labels_bin)[~expanded])
+    np.testing.assert_array_equal(rec["subjects"], subjects[~expanded])
+    assert len(rec["preds"]) == len(preds_mc)
+
+    # length-mismatch after filtering raises instead of silently fusing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        reconcile_nd(dump_bin, {"preds": preds_mc[:-1]})
+    with _pytest.raises(ValueError):
+        reconcile_nd({"preds": preds_bin}, dump_mc)
