@@ -175,7 +175,8 @@ def run_frame_folds(
         frozen = frozen_fn(out) if frozen_fn else None
         gates = gates_fn(out, train_trials, test_trials) if gates_fn else None
         res = train_frame_fold(cfg, train_trials, test_trials, tracker=tracker,
-                               frozen=frozen, gates=gates)
+                               frozen=frozen, gates=gates, tag=tag,
+                               resume=getattr(args, "resume", False))
         best = res["best"]
         save_checkpoint(
             tracker.checkpoint_path(f"best_model_{tag}.npz"),

@@ -16,6 +16,7 @@ Metric conventions follow the reference:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -129,14 +130,18 @@ def train_window_fold(
     history = []
     start_epoch = 0
     resume_path = tracker.checkpoint_path(f"last_state_{tag}.npz") if tracker else None
-    if resume and resume_path and __import__("os").path.exists(resume_path):
+    if resume and resume_path and os.path.exists(resume_path):
         from .checkpoint import load_train_state
 
         state, start_epoch = load_train_state(resume_path, state)
         print(f"[{tag}] resumed at epoch {start_epoch}")
 
-    if (cfg.fused_run and fused_ok and not cfg.siamese
-            and start_epoch < cfg.n_epochs):
+    if cfg.fused_run and fused_ok and start_epoch < cfg.n_epochs:
+        if cfg.siamese:
+            return _train_siamese_fold_fused_run(
+                cfg, exp, state, siamese_data, tracker, tag, start_epoch,
+                resume_path, history,
+            )
         return _train_window_fold_fused_run(
             cfg, exp, state, train_fold, test_fold, extras, tracker, tag,
             start_epoch, resume_path, average, history,
@@ -242,12 +247,16 @@ def train_window_fold(
 
 def _fused_run_history(cfg, E, start_epoch, tcms, tlosses, ecms, elosses,
                        scores, average, per_batch_train, wall, infer_key,
-                       infer_denom, tracker, history, tag=""):
+                       infer_denom, tracker, history, tag="", ev_update=None):
     """Shared host bookkeeping after a fused whole-run: rebuild the per-epoch
     history rows from the stacked device results and replay the device's
     strict-better selection over the device-computed scores (so the returned
     best index matches the on-device checkpoint by construction). Returns
-    the best epoch index (relative to the run)."""
+    the best epoch index (relative to the run).
+
+    ``ev_update(i)``: optional per-epoch dict merged over the pooled eval
+    metrics (the siamese vote metrics replace f1/acc/jaccard, mirroring
+    evaluate_window_fold's metrics.update)."""
     use_loss = cfg.loss_or_f1 == "loss"
     best_i = None
     best_score = np.inf if use_loss else -np.inf
@@ -272,6 +281,8 @@ def _fused_run_history(cfg, E, start_epoch, tcms, tlosses, ecms, elosses,
             "jaccard": pooled["jaccard"],
             infer_key: wall / E / max(infer_denom, 1) * 1e3,
         }
+        if ev_update is not None:
+            ev_metrics.update(ev_update(i))
         epoch_row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -290,8 +301,15 @@ def _fused_run_history(cfg, E, start_epoch, tcms, tlosses, ecms, elosses,
         sc = float(scores[i])
         if (sc < best_score) if use_loss else (sc > best_score):
             best_i, best_score = i, sc
-    # every epoch non-finite: mirror the device (initial checkpoint wins)
-    return 0 if best_i is None else best_i
+    # every epoch non-finite: no epoch ever won the device selection, so the
+    # device checkpoint is the INITIAL params. Surface that explicitly
+    # (degenerate=True) instead of silently pairing epoch-0 predictions with
+    # the untrained checkpoint.
+    if best_i is None:
+        print(f"[{tag}] every epoch score non-finite: returned checkpoint is "
+              "the initial params; prediction dump marked degenerate")
+        return 0, True
+    return best_i, False
 
 
 def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
@@ -315,7 +333,7 @@ def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
     best_ckpt = jax.device_get(bckpt_dev)
 
     n_test = runner.n_test
-    best_i = _fused_run_history(
+    best_i, degenerate = _fused_run_history(
         cfg, E, start_epoch, tcms, tlosses, ecms, elosses, scores, average,
         True, wall, "inference_ms_per_window", n_test, tracker, history, tag)
 
@@ -331,10 +349,73 @@ def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
         "subjects": test_fold.subjects,
         "cm": np.sum(ecms[best_i], axis=0),
     })
+    if degenerate:
+        best["all_epochs_non_finite"] = True
     if resume_path:
         from .checkpoint import save_train_state
 
         # the loader resumes at saved+1: record the last COMPLETED epoch
+        save_train_state(resume_path, state, cfg.n_epochs - 1)
+    return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
+
+
+def _train_siamese_fold_fused_run(cfg, exp, state, siamese_data, tracker,
+                                  tag, start_epoch, resume_path, history):
+    """Whole-run fused path for the siamese family (FusedSiameseRun): the
+    pair arrays ride the window fused scans and the on-device best selection
+    uses the VOTE weighted-F1 (loop.py::siamese_vote). Host bookkeeping
+    recomputes the vote metrics per epoch so history rows match the
+    per-epoch loop exactly."""
+    from .fused import FusedSiameseRun
+
+    runner = FusedSiameseRun(exp, cfg, siamese_data)
+    E = cfg.n_epochs - start_epoch
+    t0 = time.time()
+    state, bckpt_dev, outs = runner.run(state, start_epoch, E)
+    tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
+        np.asarray(jax.device_get(o)) for o in outs)
+    wall = time.time() - t0
+    best_ckpt = jax.device_get(bckpt_dev)
+
+    n_test = runner.n_test
+    pos2 = siamese_data["test_position_2"]
+    wlabels = siamese_data["test_window_labels"]
+    vote_cms = {}
+
+    def ev_update(i):
+        pflat = preds_all[i].reshape(-1)[:n_test]
+        vp, vl = siamese_vote(pflat, pos2, wlabels)
+        cm = np.zeros((2, 2), np.int64)
+        for y, p in zip(vl, vp):
+            cm[y, p] += 1
+        vote_cms[i] = cm
+        vm = metrics_from_cm(cm, "binary")
+        return {"f1": vm["f1"], "acc": vm["accuracy"],
+                "jaccard": vm["jaccard"],
+                "f1_weighted": metrics_from_cm(cm, "weighted")["f1"]}
+
+    best_i, degenerate = _fused_run_history(
+        cfg, E, start_epoch, tcms, tlosses, ecms, elosses, scores, "binary",
+        True, wall, "inference_ms_per_window", n_test, tracker, history, tag,
+        ev_update=ev_update)
+
+    preds = preds_all[best_i].reshape(-1)[:n_test]
+    probs = probs_all[best_i].reshape((-1,) + probs_all.shape[3:])[:n_test]
+    best = dict(history[len(history) - E + best_i])
+    best.update({
+        "preds": preds,
+        "probs": probs,
+        "labels": siamese_data["test"][2],
+        "raw_labels": None,
+        "gestures": None,
+        "subjects": None,
+        "cm": vote_cms[best_i],
+    })
+    if degenerate:
+        best["all_epochs_non_finite"] = True
+    if resume_path:
+        from .checkpoint import save_train_state
+
         save_train_state(resume_path, state, cfg.n_epochs - 1)
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
@@ -468,11 +549,15 @@ def train_frame_fold(
     exp: Optional[Experiment] = None,
     frozen: Any = None,
     gates: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+    tag: str = "",
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """Frame-level training (TeCNo / TransSVNet / COG, batch = one trial).
 
     ``gates``: {'train': {trial_name: (T,) 0/1}, 'test': …} for the
     sequential stage-2 regimes (binary-stage predictions / true labels).
+    ``resume``: restore the fold's ``last_state_<tag>`` snapshot and
+    continue from the next epoch (same contract as the window families).
     """
     exp = exp or Experiment(cfg)
     average = "binary" if cfg.error_type == "global" else "macro"
@@ -529,6 +614,15 @@ def train_frame_fold(
             frozen=frozen,
         )
 
+    start_epoch = 0
+    resume_path = (tracker.checkpoint_path(f"last_state_{tag}.npz")
+                   if tracker and tag else None)
+    if resume and resume_path and os.path.exists(resume_path):
+        from .checkpoint import load_train_state
+
+        state, start_epoch = load_train_state(resume_path, state)
+        print(f"[{tag}] resumed at epoch {start_epoch}")
+
     # fused epochs: every trial stacked at the common bucket, one program
     # per epoch / one per eval pass (bit-exact vs the per-trial loop)
     fused = fused_eval = None
@@ -537,16 +631,17 @@ def train_frame_fold(
 
         train_batches = [make_batch(t, "train") for t in train_trials]
         test_batches = [make_batch(t, "test") for t in test_trials]
-        if cfg.fused_run:
+        if cfg.fused_run and start_epoch < cfg.n_epochs:
             return _train_frame_fold_fused_run(
                 cfg, exp, state, test_trials, train_batches, test_batches,
-                tracker, average)
+                tracker, average, start_epoch=start_epoch,
+                resume_path=resume_path)
         fused = FusedFrameEpoch(exp, cfg, train_batches)
         fused_eval = FusedFrameEval(exp, cfg, test_batches)
         fused_eval.host_batches = test_batches
 
     best, best_ckpt, history = None, None, []
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state, epoch_lr(cfg, epoch)))
         t0 = time.time()
         if fused is not None:
@@ -608,12 +703,17 @@ def train_frame_fold(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants}
             )
+        if resume_path:
+            from .checkpoint import save_train_state
+
+            save_train_state(resume_path, state, epoch)
 
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 
 def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
-                                test_batches, tracker, average):
+                                test_batches, tracker, average,
+                                start_epoch=0, resume_path=None):
     """Whole-run fused path for the frame families (FusedFrameRun): every
     epoch's train scan + eval scan + on-device best selection in ONE device
     program, then identical host bookkeeping from the stacked results (see
@@ -621,9 +721,9 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
     from .fused import FusedFrameRun
 
     runner = FusedFrameRun(exp, cfg, train_batches, test_batches)
-    E = cfg.n_epochs
+    E = cfg.n_epochs - start_epoch
     t0 = time.time()
-    state, bckpt_dev, outs = runner.run(state, 0, E)
+    state, bckpt_dev, outs = runner.run(state, start_epoch, E)
     tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
         np.asarray(jax.device_get(o)) for o in outs)
     wall = time.time() - t0
@@ -631,9 +731,10 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
 
     n_frames_total = sum(int(b["true_len"]) for b in test_batches)
     history = []
-    best_i = _fused_run_history(
-        cfg, E, 0, tcms, tlosses, ecms, elosses, scores, average, False,
-        wall, "inference_ms_per_frame", n_frames_total, tracker, history)
+    best_i, degenerate = _fused_run_history(
+        cfg, E, start_epoch, tcms, tlosses, ecms, elosses, scores, average,
+        False, wall, "inference_ms_per_frame", n_frames_total, tracker,
+        history)
 
     # rebuild the best epoch's per-trial prediction dump (evaluate_frame_fold
     # record() semantics: trim to true_len, collect labels/gestures/subjects)
@@ -662,6 +763,13 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
         "subjects": np.asarray(subjects, object),
         "cm": np.sum(ecms[best_i], axis=0),
     })
+    if degenerate:
+        best["all_epochs_non_finite"] = True
+    if resume_path:
+        from .checkpoint import save_train_state
+
+        # the loader resumes at saved+1: record the last COMPLETED epoch
+        save_train_state(resume_path, state, cfg.n_epochs - 1)
     return {"best": best, "history": history, "checkpoint": best_ckpt, "exp": exp}
 
 

@@ -41,6 +41,40 @@ def test_resume_matches_uninterrupted(tmp_path, rng):
         assert a == pytest.approx(b, abs=1e-5), (k, a, b)
 
 
+def test_frame_resume_matches_uninterrupted(tmp_path, rng):
+    """Frame-family resume (TeCNo): run 1 epoch, resume for 2 more — the
+    final epoch must match the uninterrupted 3-epoch run exactly."""
+    from med_tpu.data.datasets import build_frame_fold
+    from med_tpu.train.loop import train_frame_fold
+
+    fold_dir = make_synth_fold(tmp_path, rng)
+    cfg = ExperimentConfig(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, n_epochs=3, mstcn_layers=4,
+        mstcn_f_maps=16, lr=1e-3, lr_scheduler=False,
+    )
+    train_trials = build_frame_fold(fold_dir, cfg, "train.csv")
+    test_trials = build_frame_fold(fold_dir, cfg, "test.csv")
+
+    t_full = RunTracker(root=str(tmp_path / "rf1"), experiment="t")
+    full = train_frame_fold(cfg, train_trials, test_trials, tracker=t_full,
+                            tag="LOSO_1Out")
+
+    t_part = RunTracker(root=str(tmp_path / "rf2"), experiment="t")
+    cfg1 = cfg.replace(n_epochs=1)
+    train_frame_fold(cfg1, train_trials, test_trials, tracker=t_part,
+                     tag="LOSO_1Out")
+    resumed = train_frame_fold(cfg, train_trials, test_trials, tracker=t_part,
+                               tag="LOSO_1Out", resume=True)
+
+    assert len(resumed["history"]) == 2  # epochs 1 and 2 only
+    assert resumed["history"][0]["epoch"] == 1
+    for k in ("train_loss", "test_f1", "test_acc"):
+        a = full["history"][2][k]
+        b = resumed["history"][-1][k]
+        assert a == pytest.approx(b, abs=1e-5), (k, a, b)
+
+
 def test_train_state_roundtrip(tmp_path, rng):
     import jax
 
