@@ -352,19 +352,26 @@ class _FusedRunBase:
     def _eval_schedule(self):
         raise NotImplementedError
 
+    def _score(self, preds, ecms):
+        """On-device selection score for one epoch's eval pass (the F1 side;
+        loss-mode selection is handled in ``_build``). Subclasses with a
+        non-CM selection metric (siamese vote F1) override this."""
+        from ..ops.metrics import f1_from_cm_device
+
+        return f1_from_cm_device(jnp.sum(ecms, axis=0), self.sel_average)
+
     def _compile(self):
         self._fn = jax.jit(self._build(), donate_argnums=(0,))
 
     def _build(self):
-        from ..ops.metrics import f1_from_cm_device
         from .optim import set_lr
 
         tstep = self.exp._make_step(train=True)
         estep = self.exp._make_step(train=False)
         use_loss = self.cfg.loss_or_f1 == "loss"
-        avg = self.sel_average
         mk_tb = self._make_train_batch
         mk_eb = self._make_eval_batch
+        score_fn = self._score
 
         def run(state: TrainState, tr_arrays, ev_arrays, sched, lrs,
                 ev_sched):
@@ -389,7 +396,7 @@ class _FusedRunBase:
 
                 score = (
                     jnp.mean(elosses) if use_loss
-                    else f1_from_cm_device(jnp.sum(ecms, axis=0), avg)
+                    else score_fn(preds, ecms)
                 )
                 better = (score < best_score) if use_loss else (score > best_score)
                 ckpt = {"params": state.params,
@@ -487,3 +494,55 @@ class FusedFrameRun(_FusedRunBase):
 
     def _eval_schedule(self):
         return (self.eval._sel, self.eval._weight)
+
+
+class FusedSiameseRun(_FusedRunBase):
+    """Whole-run fusion for the siamese family. The pair arrays ride the
+    window batch protocol (loop.py::_siamese_batches), but best-checkpoint
+    selection replicates the per-epoch loop's VOTE metric: pair predictions
+    are majority-voted per test-window position (loop.py::siamese_vote,
+    reference modeling_utils.py:1180-1250) and the weighted F1 of the
+    resulting 2x2 vote CM drives selection — entirely on device via a
+    static position->group segment sum."""
+
+    def __init__(self, exp: Experiment, cfg: ExperimentConfig, siamese_data):
+        if exp.family != "siamese":
+            raise ValueError("FusedSiameseRun needs the siamese family")
+        self.cfg = cfg
+        self.exp = exp
+        tr, te = siamese_data["train"], siamese_data["test"]
+        self.train = FusedWindowEpoch(exp, cfg, arrays={
+            "images": tr[0], "kinematics": tr[1], "labels": tr[2]})
+        self.eval = FusedWindowEval(exp, cfg, arrays={
+            "images": te[0], "kinematics": te[1], "labels": te[2]})
+        self.n_test = self.eval.n
+        # vote structures: positions/labels are static per fold
+        pos = np.asarray(siamese_data["test_position_2"])
+        uniq, inv = np.unique(pos, return_inverse=True)
+        self._pos_inv = jnp.asarray(inv)
+        self._n_groups = int(len(uniq))
+        self._counts = jnp.asarray(
+            np.bincount(inv, minlength=len(uniq)).astype(np.float32))
+        wl = np.asarray(siamese_data["test_window_labels"])[uniq]
+        self._vote_labels = jnp.asarray(wl.astype(np.int64))
+        self.sel_average = "weighted"   # _better compares test_f1_weighted
+        self._compile()
+
+    def _score(self, preds, ecms):
+        from ..ops.metrics import confusion_matrix, f1_from_cm_device
+
+        pflat = preds.reshape(-1)[: self.n_test].astype(jnp.float32)
+        sums = jax.ops.segment_sum(pflat, self._pos_inv,
+                                   num_segments=self._n_groups)
+        votes = (sums / self._counts >= 0.5).astype(jnp.int32)
+        cm = confusion_matrix(self._vote_labels, votes, 2)
+        return f1_from_cm_device(cm, "weighted")
+
+    def _make_train_batch(self, arrays, xs):
+        s, m = xs
+        return {**{k: v[s] for k, v in arrays.items()}, "mask": m}
+
+    _make_eval_batch = _make_train_batch
+
+    def _eval_schedule(self):
+        return (self.eval._sel, self.eval._mask)

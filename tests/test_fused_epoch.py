@@ -113,6 +113,39 @@ def test_fused_siamese_epoch_matches_per_batch(tmp_path, rng):
     assert res_f["best"]["cm"].sum() == res_p["best"]["cm"].sum()
 
 
+def test_fused_siamese_run_matches_fused_epochs(tmp_path, rng):
+    """FusedSiameseRun (whole siamese run + on-device VOTE-F1 selection in
+    one program) == the per-epoch fused loop: history (incl. vote metrics),
+    best epoch, predictions, vote CM, checkpoint."""
+    import jax
+    from med_tpu.cli.train_window import _siamese_data_fn
+
+    fold_dir = make_synth_fold(tmp_path, rng)
+    cfg = ExperimentConfig(model_name="Siamese_CNN", batch_size=32,
+                           n_epochs=3, lr=1e-3, error_type="global",
+                           out_features=1, siamese=True, n_pairs=96,
+                           n_comparisons=3, lr_scheduler=True)
+    train_fold, test_fold = build_window_fold(fold_dir, cfg)
+    sdata = _siamese_data_fn(cfg)("1Out", train_fold, test_fold)
+
+    res_run = train_window_fold(cfg.replace(fused_run=True),
+                                train_fold, test_fold, siamese_data=sdata)
+    res_ep = train_window_fold(cfg.replace(fused_run=False),
+                               train_fold, test_fold, siamese_data=sdata)
+    assert len(res_run["history"]) == len(res_ep["history"]) == 3
+    for a, b in zip(res_run["history"], res_ep["history"]):
+        for k in ("train_loss", "test_loss", "train_f1", "test_f1",
+                  "test_f1_weighted", "test_acc", "test_jaccard"):
+            assert a[k] == pytest.approx(b[k], abs=1e-5), k
+    assert res_run["best"]["epoch"] == res_ep["best"]["epoch"]
+    np.testing.assert_array_equal(res_run["best"]["preds"],
+                                  res_ep["best"]["preds"])
+    np.testing.assert_array_equal(res_run["best"]["cm"], res_ep["best"]["cm"])
+    for a, b in zip(jax.tree_util.tree_leaves(res_run["checkpoint"]),
+                    jax.tree_util.tree_leaves(res_ep["checkpoint"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_fused_run_matches_fused_epochs(tmp_path, rng):
     """Whole-run fusion (all epochs + evals + best selection in ONE program)
     reproduces the per-epoch fused loop: same history, same best epoch, same
