@@ -16,6 +16,7 @@ and Adam moments uniformly.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -24,12 +25,54 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# FeatureExtractor matmul shapes -> tensor-parallel specs (megatron layout)
-_TP_SPECS = {
-    (2048, 512): P(None, "model"),  # column-parallel
-    (512,): P("model"),
-    (512, 256): P("model", None),   # row-parallel
-}
+
+def _path_keys(path) -> list:
+    """Tree-path entries -> plain string key names (DictKey / GetAttrKey;
+    positional keys like optax NamedTuple indices are skipped)."""
+    out = []
+    for k in path:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", None)
+        if isinstance(name, str):
+            out.append(name)
+    return out
+
+
+def _tp_spec_for(path, shape, n_model: int) -> P:
+    """Megatron placement for the FeatureExtractor MLP, matched by tree PATH
+    (works for any ``video_dims`` / FE width, and covers params and Adam
+    moments uniformly since optax per-leaf states mirror the param dict):
+
+    - ``fe/dense0/kernel`` (2048, h0): column-parallel  P(None, 'model')
+    - ``fe/dense0/bias``   (h0,):      follows the columns  P('model')
+    - ``fe/dense1/kernel`` (h0, h1):   row-parallel  P('model', None)
+      (XLA inserts the one reduce between the two matmuls)
+    - everything else replicated.
+
+    A dimension that does not divide the 'model' axis degrades to
+    replication with a warning instead of silently (the old table simply
+    missed non-default shapes)."""
+    keys = _path_keys(path)
+    if "fe" not in keys:
+        return P()
+    rest = keys[keys.index("fe") + 1:]
+    if "dense0" in rest:
+        dim = shape[-1] if rest and rest[-1] == "kernel" else shape[0]
+        if dim % n_model:
+            warnings.warn(
+                f"fe/dense0 width {dim} not divisible by model axis "
+                f"{n_model}; replicating", stacklevel=2)
+            return P()
+        return P(None, "model") if rest[-1] == "kernel" else P("model")
+    if "dense1" in rest and rest and rest[-1] == "kernel":
+        if shape[0] % n_model:
+            warnings.warn(
+                f"fe/dense1 in-dim {shape[0]} not divisible by model axis "
+                f"{n_model}; replicating", stacklevel=2)
+            return P()
+        return P("model", None)
+    return P()
 
 
 def make_mesh(
@@ -47,41 +90,47 @@ def make_mesh(
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard every batch array along its leading (example) axis."""
+    """Shard every batch array along its leading (example) axis. A leading
+    axis that does not divide the 'data' axis degrades to replication WITH A
+    WARNING (DP silently becoming replication was easy to miss; size your
+    batch a multiple of the data axis — the fixed-shape padded batches
+    normally guarantee this)."""
     n_data = mesh.shape["data"]
 
-    def put(x):
+    def put(name, x):
         x = jnp.asarray(x)
-        if x.ndim == 0 or x.shape[0] % n_data != 0 or x.shape[0] < n_data:
+        if x.ndim == 0 or x.shape[0] < n_data:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if x.shape[0] % n_data != 0:
+            warnings.warn(
+                f"batch['{name}'] leading dim {x.shape[0]} not divisible by "
+                f"data axis {n_data}; replicating (DP disabled for this "
+                f"array)", stacklevel=2)
             return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(
             x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         )
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def shard_params(params, mesh: Mesh):
-    """Place FE kernels tensor-parallel over 'model' (by shape), replicate
-    the rest. Applies to any param-shaped tree (params, grads, moments)."""
-    tp = "model" in mesh.shape and mesh.shape["model"] > 1
-
-    def put(x):
-        x = jnp.asarray(x)
-        spec = _TP_SPECS.get(tuple(x.shape), P()) if tp else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    return jax.tree.map(put, params)
+    """Place FE kernels tensor-parallel over 'model' (by tree path),
+    replicate the rest. Applies to any param-shaped tree (params, grads,
+    moments)."""
+    return shard_state(params, mesh)
 
 
 def shard_state(state, mesh: Mesh):
-    """Shard a TrainState: every array placed by the shape rules (params and
-    Adam moments get TP placement; scalars and everything else replicated)."""
-    return jax.tree.map(lambda x: _put_by_shape(x, mesh), state)
-
-
-def _put_by_shape(x, mesh: Mesh):
-    x = jnp.asarray(x)
+    """Shard a TrainState (or any param-shaped tree): every array placed by
+    the path rules (FE params and their Adam moments get TP placement;
+    scalars and everything else replicated)."""
     tp = "model" in mesh.shape and mesh.shape["model"] > 1
-    spec = _TP_SPECS.get(tuple(x.shape), P()) if tp else P()
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    n_model = mesh.shape.get("model", 1)
+
+    def put(path, x):
+        x = jnp.asarray(x)
+        spec = _tp_spec_for(path, x.shape, n_model) if tp else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, state)

@@ -55,6 +55,61 @@ def test_dp_tp_sharded_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+def test_tp_placement_is_path_driven(rng):
+    """FE tensor-parallel placement matches by tree PATH, not by literal
+    shapes: it survives a non-default video_dims, covers the Adam moments,
+    leaves same-shaped non-FE params replicated, and degrades non-divisible
+    widths to replication with a warning."""
+    import warnings as _warnings
+
+    from jax.sharding import PartitionSpec as P
+
+    from med_tpu.parallel import shard_params
+
+    mesh = make_mesh((4, 2))
+    cfg = ExperimentConfig(model_name="SimpleCNN", use_pallas=False,
+                           video_dims=48)  # non-default FE output width
+    exp = Experiment(cfg)
+    batch = synth_batch(rng, cfg)
+    state = exp.init_state(jax.random.key(0), batch)
+    state = shard_state(state, mesh)
+
+    assert state.params["fe"]["dense0"]["kernel"].sharding.spec == P(None, "model")
+    assert state.params["fe"]["dense0"]["bias"].sharding.spec == P("model")
+    assert state.params["fe"]["dense1"]["kernel"].sharding.spec == P("model", None)
+    assert state.params["fe"]["out"]["kernel"].sharding.spec == P()
+
+    # Adam moments mirror the param dict -> same TP placement by path
+    n_tp_moments = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.opt_state):
+        keys = [getattr(k, "key", None) for k in path]
+        if "fe" in keys and "dense0" in keys and keys[-1] == "kernel":
+            assert leaf.sharding.spec == P(None, "model")
+            n_tp_moments += 1
+    assert n_tp_moments >= 2  # mu and nu at least
+
+    # a non-FE tree with the FE's literal shapes stays replicated
+    decoy = {"model": {"w": jnp.zeros((2048, 512)), "b": jnp.zeros((512,))}}
+    out = shard_params(decoy, mesh)
+    assert out["model"]["w"].sharding.spec == P()
+    assert out["model"]["b"].sharding.spec == P()
+
+    # non-divisible FE width: replicate + warn instead of silent wrong shard
+    odd = {"fe": {"dense0": {"kernel": jnp.zeros((16, 31))}}}
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = shard_params(odd, mesh)
+    assert out["fe"]["dense0"]["kernel"].sharding.spec == P()
+    assert any("not divisible" in str(x.message) for x in w)
+
+    # shard_batch warns on a non-divisible leading axis
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        sb = shard_batch({"x": jnp.zeros((10, 4))}, mesh)  # 10 % 4 != 0
+    assert sb["x"].sharding.spec == P()
+    assert any("not divisible" in str(x.message) for x in w)
+
+
 def test_fold_parallel_matches_sequential(rng):
     cfg = ExperimentConfig(model_name="SimpleCNN", use_pallas=False)
     exp = Experiment(cfg)
@@ -95,6 +150,73 @@ def test_fold_parallel_matches_sequential(rng):
         states_m, metrics_m = fp_mesh.train_step(states_m, batches_m)
     for k in range(2):
         assert abs(float(metrics_m["loss"][k]) - seq_states[k][1]) < 1e-4
+
+
+def test_fold_parallel_whole_run_matches_sequential_fused_runs(tmp_path, rng):
+    """FoldParallelWindowRun (all folds x all epochs x eval x best-ckpt
+    selection in ONE sharded program) reproduces each fold's own sequential
+    fused whole-run exactly — including folds of DIFFERENT sizes, whose
+    surplus canonical steps must be no-ops."""
+    from med_tpu.data.datasets import build_window_fold
+    from med_tpu.parallel.folds import FoldParallelWindowRun
+    from med_tpu.train.loop import train_window_fold
+    from tests.test_end_to_end import make_synth_fold
+
+    cfg = ExperimentConfig(model_name="SimpleCNN", batch_size=32, n_epochs=2,
+                           lr=1e-3, use_pallas=False)
+    folds = []
+    for i, frames in enumerate((160, 220)):  # different fold sizes
+        root = tmp_path / f"f{i}"
+        root.mkdir()
+        d = make_synth_fold(root, rng, frames_per_trial=frames)
+        folds.append(build_window_fold(d, cfg))
+    assert len(folds[0][0]) != len(folds[1][0])
+
+    exp = Experiment(cfg)
+    seq = [train_window_fold(cfg, tf, ef) for tf, ef in folds]
+
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    fpr = FoldParallelWindowRun(Experiment(cfg), cfg, folds, mesh=mesh)
+    fp = FoldParallel(fpr.exp, mesh=mesh)
+    sample_batches = [
+        {"images": tf.images[:cfg.batch_size],
+         "kinematics": tf.kinematics[:cfg.batch_size],
+         "labels": tf.labels_for(cfg.error_type)[:cfg.batch_size],
+         "mask": np.ones(cfg.batch_size, np.float32)}
+        for tf, _ in folds
+    ]
+    states = fp.init_states([jax.random.key(cfg.seed)] * 2, sample_batches)
+    states, bckpts, outs = fpr.run(states, 0, cfg.n_epochs)
+    tcms, tlosses, preds, probs, ecms, elosses, scores = outs
+
+    for k, (tf, ef) in enumerate(folds):
+        n_ev = len(ef)
+        best_e = int(seq[k]["best"]["epoch"])
+        got_preds = np.asarray(preds)[k, best_e].reshape(-1)[:n_ev]
+        # vmapped matmuls reduce in a different order; fp32 noise compounds
+        # over Adam steps and can flip rare boundary windows — require near-
+        # total agreement rather than bit equality (same rationale as
+        # test_fold_parallel_matches_sequential's tolerance)
+        agree = np.mean(got_preds == np.asarray(seq[k]["best"]["preds"]))
+        assert agree > 0.99, agree
+        # per-epoch history parity: mean train loss over the fold's REAL steps
+        s_real = -(-len(tf) // cfg.batch_size)
+        for e, row in enumerate(seq[k]["history"]):
+            got_tl = float(np.mean(np.asarray(tlosses)[k, e, :s_real]))
+            tol = 1e-5 if e == 0 else 2e-3
+            assert got_tl == pytest.approx(row["train_loss"], abs=tol)
+        # device scores match the sequential run's selection metric stream
+        for e, row in enumerate(seq[k]["history"]):
+            assert float(np.asarray(scores)[k, e]) == pytest.approx(
+                row.get("test_f1_weighted", row["test_f1"]), abs=5e-3)
+        # winning checkpoint matches (vmapped matmuls reduce in a different
+        # order than unbatched ones; fp32 noise compounds over Adam steps —
+        # same tolerance as test_fold_parallel_matches_sequential)
+        best_par = unstack_tree(bckpts, k)
+        for a, b in zip(jax.tree.leaves(best_par),
+                        jax.tree.leaves(seq[k]["checkpoint"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=1e-2)
 
 
 def test_prefetch_roundtrip(rng):
