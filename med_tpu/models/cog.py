@@ -40,6 +40,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,7 +201,12 @@ class ChainOfGestureTransformer(nn.Module):
 class COGStage(nn.Module):
     """SingleStageModel1_COG: optional 1x1 input conv, optional channel
     dropout, dilated residual stack, 1x1 class conv. Returns (features,
-    logits)."""
+    logits).
+
+    Setup-style (attribute names keep the historical param paths
+    conv_in/stack/conv_out) so the merged slow path can drive the pieces
+    individually: ``pre`` (conv_in + channel dropout), the stack's stacked
+    weights/dropout mask, and ``post`` (class conv)."""
 
     num_layers: int
     f_maps: int
@@ -211,23 +217,43 @@ class COGStage(nn.Module):
     dtype: object = None
     fused: object = "auto"   # fused Pallas stack: "auto" (TPU) | True | False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        if self.use_input_conv:
+            self.conv_in = Conv1d(self.f_maps, 1, dtype=self.dtype)
+        self.stack = ResidualStack(
+            self.num_layers, self.f_maps, causal=self.causal,
+            dtype=self.dtype, fused=self.fused,
+        )
+        self.conv_out = Conv1d(self.out_classes, 1, dtype=self.dtype)
+
+    def pre(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        out = Conv1d(self.f_maps, 1, dtype=self.dtype,
-                     name="conv_in")(x) if self.use_input_conv else x
-        if self.channel_dropout:
+        out = self.conv_in(x) if self.use_input_conv else x
+        if self.channel_dropout and train:
             # torch Dropout2d on (B, C, T, 1): zeroes whole channels
-            out = nn.Dropout(0.5, broadcast_dims=(1,), deterministic=not train)(out)
-        out = ResidualStack(
-            self.num_layers, self.f_maps, causal=self.causal,
-            dtype=self.dtype, fused=self.fused, name="stack",
-        )(out, train)
-        logits = Conv1d(self.out_classes, 1, dtype=self.dtype,
-                        name="conv_out")(out)
+            # (drawn directly — nn.Dropout can't be created in a
+            # non-compact method)
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 0.5,
+                (out.shape[0], 1, out.shape[2]))
+            out = out * keep.astype(out.dtype) * 2.0
+        return out
+
+    def stack_weights(self):
+        return self.stack.weights()
+
+    def stack_dropout_mask(self, B: int, T: int):
+        return self.stack.dropout_mask(B, T)
+
+    def post(self, out):
+        logits = self.conv_out(out)
         # fp32 logits for losses / softmax refinement
         return out, logits.astype(jnp.float32)
+
+    def __call__(self, x, train: bool = False):
+        out = self.stack(self.pre(x, train), train)
+        return self.post(out)
 
 
 class COG(nn.Module):
@@ -323,18 +349,54 @@ class COG(nn.Module):
         xx = xx[None]  # (1, T, M*d_model [+ S*d_model])
 
         # --- slow path ---
-        f, _ = COGStage(
+        slow_stages = [COGStage(
             self.num_layers_basic, self.f_maps, self.out_classes,
-            self.causal, channel_dropout=True, dtype=self.dtype, fused=self.fused, name="TCN",
-        )(xx, train)
-        f_list = [f]
+            self.causal, channel_dropout=True, dtype=self.dtype,
+            fused=self.fused, name="TCN",
+        )]
         for r in range(self.num_r):
-            f, _ = COGStage(
+            slow_stages.append(COGStage(
                 self.num_layers_r, self.f_maps, self.out_classes,
                 self.causal, use_input_conv=False, dtype=self.dtype,
                 fused=self.fused, name=f"R{r}",
-            )(f, train)
-            f_list.append(f)
+            ))
+
+        use_fused = (self.fused is True) or (
+            self.fused == "auto" and jax.default_backend() == "tpu")
+        if use_fused and self.dtype is None and self.num_r > 0:
+            # MERGED slow path: the R stages take features directly (no ops
+            # between stages, models_COG.py:482-524), so all stages run in
+            # ONE kernel launch per direction (ops/tcn_fused.py multistack);
+            # stage outputs feed the FPN exactly as the per-stage loop's.
+            from ..ops.tcn_fused import dilated_residual_multistack
+
+            out0 = slow_stages[0].pre(xx, train)          # (1, T, C)
+            T_len = out0.shape[1]
+            ws = [s.stack_weights() for s in slow_stages]
+            w3 = jnp.concatenate([w[0] for w in ws])
+            b3 = jnp.concatenate([w[1] for w in ws])
+            w1 = jnp.concatenate([w[2] for w in ws])
+            b1 = jnp.concatenate([w[3] for w in ws])
+            mask = None
+            if train:
+                masks = [s.stack_dropout_mask(1, T_len) for s in slow_stages]
+                mask = jnp.concatenate([m[:, 0] for m in masks])
+            hs = dilated_residual_multistack(
+                out0[0], w3, b3, w1, b1, self.num_layers_basic,
+                self.num_layers_r, causal=self.causal, mask=mask)
+            f_list = [hs[s][None] for s in range(len(slow_stages))]
+            # per-stage class convs: logits are unused on the slow path
+            # (exactly like the per-stage loop, which discards them), but
+            # the params must exist for checkpoint-tree parity — XLA DCEs
+            # the dead matmuls
+            for s, fs in zip(slow_stages, f_list):
+                s.post(fs)
+        else:
+            f, _ = slow_stages[0](xx, train)
+            f_list = [f]
+            for r in range(self.num_r):
+                f, _ = slow_stages[1 + r](f, train)
+                f_list.append(f)
 
         # FPN upsample-add with a single shared lateral conv
         lat = Conv1d(self.f_maps, 1, dtype=self.dtype, name="latlayer1")

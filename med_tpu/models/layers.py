@@ -197,15 +197,25 @@ class ResidualStack(nn.Module):
         self.w1 = self.param("w1", _stacked_conv_kernel, (L, C, C))
         self.b1 = self.param("b1", torch_default_bias(C), (L, C))
 
+    def dropout_mask(self, B: int, T: int):
+        """The per-layer Bernoulli keep-mask this stack would draw in
+        ``__call__`` (same rng path/count, so the merged multi-stage kernel
+        sees the identical stream). None when dropout is off."""
+        if self.dropout_rate <= 0.0:
+            return None
+        return jax.random.bernoulli(
+            self.make_rng("dropout"), 1.0 - self.dropout_rate,
+            (self.num_layers, B, T, self.channels)
+        ).astype(jnp.uint8)
+
+    def weights(self):
+        return self.w3, self.b3, self.w1, self.b1
+
     def __call__(self, x, train: bool = False):
         L = self.num_layers
         B, T, C = x.shape
         rate = self.dropout_rate
-        mask = None
-        if train and rate > 0.0:
-            mask = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - rate, (L, B, T, C)
-            ).astype(jnp.uint8)
+        mask = self.dropout_mask(B, T) if train else None
 
         use_fused = (self.fused is True) or (
             self.fused == "auto" and jax.default_backend() == "tpu"

@@ -367,6 +367,325 @@ def dilated_residual_stack(x, w3, b3, w1, b1, *, causal: bool = True,
 
 
 # ---------------------------------------------------------------------------
+# merged MULTI-STAGE stack: the COG slow path (TCN + num_R refinement
+# stages) is 4 back-to-back residual stacks with NO ops between stages
+# (R stages take features directly, models_COG.py:482-524), so all
+# L0 + num_R*Lr layers run in ONE kernel launch per direction instead of 4
+# — amortizing the ~40 us fixed cost per pallas_call (round-2 profile:
+# 8 stack launches were 0.66 ms of a 2.8 ms step against ~4 us of MXU work
+# each). Stage outputs (the FPN inputs) are emitted as an (S, T, C) output
+# whose block index is the stage of the current layer: every layer writes
+# its stage's block, so the stage's LAST layer leaves the stage output.
+#
+# Stage layout is (L0, Lr, Lr, …): dilation and stage index derive from the
+# grid index arithmetically (local = i < L0 ? i : (i - L0) % Lr), so no
+# scalar-prefetch tables are needed.
+# ---------------------------------------------------------------------------
+
+
+def _stage_of(i, L0, Lr):
+    return jnp.where(i < L0, 0, 1 + (i - L0) // Lr)
+
+
+def _local_of(i, L0, Lr):
+    return jnp.where(i < L0, i, (i - L0) % Lr)
+
+
+def _multi_fwd_kernel(*refs, causal: bool, pad: int, L0: int, Lr: int,
+                      use_mask: bool, save: bool):
+    if use_mask:
+        x_ref, w3_ref, b3_ref, w1_ref, b1_ref, mask_ref = refs[:6]
+        outs = refs[6:-1]
+    else:
+        x_ref, w3_ref, b3_ref, w1_ref, b1_ref = refs[:5]
+        outs = refs[5:-1]
+    if save:
+        hs_ref, h_saved_ref = outs
+    else:
+        (hs_ref,) = outs
+    hp_ref = refs[-1]
+
+    T, C = x_ref.shape
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hp_ref[pl.ds(0, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad + T, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad, T)] = x_ref[:]
+
+    h = hp_ref[pl.ds(pad, T)]
+    if save:
+        h_saved_ref[0] = h
+
+    d = jnp.int32(1) << _local_of(i, L0, Lr)
+    acc = b3_ref[0]
+    for j, s in enumerate(_shifts(d, causal)):
+        acc = acc + jax.lax.dot_general(
+            hp_ref[pl.ds(pad - s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.maximum(acc, 0.0)
+    z = jax.lax.dot_general(
+        y, w1_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b1_ref[0]
+    if use_mask:
+        z = z * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
+    hn = h + z
+    hp_ref[pl.ds(pad, T)] = hn
+    hs_ref[0] = hn   # stage block: last layer of the stage wins
+
+
+def _multi_fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, L0: int,
+                    Lr: int, save: bool, interpret: bool):
+    Lt = w3.shape[0]
+    C = w3.shape[2]
+    T = x.shape[0]
+    S = 1 + (Lt - L0) // max(Lr, 1) if Lt > L0 else 1
+    pad = 2 ** max(L0, Lr)
+
+    stage_map = lambda i: (_stage_of(i, L0, Lr), 0, 0)  # noqa: E731
+
+    in_arrays = [x, w3, b3.reshape(Lt, 1, C), w1, b1.reshape(Lt, 1, C)]
+    in_specs = [
+        pl.BlockSpec((T, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3, C, C), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, C, C), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
+    ]
+    if mask is not None:
+        in_arrays.append(mask)
+        in_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+
+    out_shape = [jax.ShapeDtypeStruct((S, T, C), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, T, C), stage_map)]
+    if save:
+        out_shape.append(jax.ShapeDtypeStruct((Lt, T, C), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_multi_fwd_kernel, causal=causal, pad=pad, L0=L0,
+                          Lr=Lr, use_mask=mask is not None, save=save),
+        grid=(Lt,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((pad + T + pad, C), jnp.float32)],
+        interpret=interpret,
+    )(*in_arrays)
+    return out if save else out[0]
+
+
+def _multi_bwd_kernel(*refs, causal: bool, pad: int, Lt: int, L0: int,
+                      Lr: int, use_mask: bool):
+    """Grid step i processes layer l = Lt-1-i; the stage-output cotangent
+    g[stage(l)] joins dh when l is its stage's LAST layer."""
+    if use_mask:
+        g_ref, h_ref, w3_ref, b3_ref, w1_ref, mask_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        g_ref, h_ref, w3_ref, b3_ref, w1_ref = refs[:5]
+        rest = refs[5:]
+    dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dh_scr, hp_scr, ap_scr = rest
+
+    T, C = dx_ref.shape
+    i = pl.program_id(0)
+    l = (Lt - 1) - i
+    local = _local_of(l, L0, Lr)
+    d = jnp.int32(1) << local
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros((T, C), jnp.float32)
+        zeros = jnp.zeros((pad, C), jnp.float32)
+        hp_scr[pl.ds(0, pad)] = zeros
+        hp_scr[pl.ds(pad + T, pad)] = zeros
+        ap_scr[pl.ds(0, pad)] = zeros
+        ap_scr[pl.ds(pad + T, pad)] = zeros
+
+    stage_len = jnp.where(l < L0, L0, Lr)
+    dh_out = dh_scr[:]
+    is_end = local == stage_len - 1
+    dh_out = dh_out + jnp.where(is_end, 1.0, 0.0) * g_ref[0]
+
+    h = h_ref[0]
+    hp_scr[pl.ds(pad, T)] = h
+
+    shifts = _shifts(d, causal)
+    acc = b3_ref[0]
+    for j, s in enumerate(shifts):
+        acc = acc + jax.lax.dot_general(
+            hp_scr[pl.ds(pad - s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.maximum(acc, 0.0)
+
+    dz = (
+        dh_out * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
+        if use_mask else dh_out
+    )
+    dw1_ref[0] = jax.lax.dot_general(
+        y, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    db1_ref[0] = jnp.sum(dz, axis=0, keepdims=True)
+    dy = jax.lax.dot_general(
+        dz, w1_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    da = jnp.where(y > 0.0, dy, 0.0)
+    db3_ref[0] = jnp.sum(da, axis=0, keepdims=True)
+
+    ap_scr[pl.ds(pad, T)] = da
+    dhc = dh_out
+    for j, s in enumerate(shifts):
+        dw3_ref[0, j] = jax.lax.dot_general(
+            hp_scr[pl.ds(pad - s, T)], da,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dhc = dhc + jax.lax.dot_general(
+            ap_scr[pl.ds(pad + s, T)], w3_ref[0, j],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    dh_scr[:] = dhc
+    dx_ref[:] = dhc
+
+
+def _multi_bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, L0: int,
+                    Lr: int, interpret: bool):
+    Lt = w3.shape[0]
+    C = w3.shape[2]
+    T = g.shape[1]
+    pad = 2 ** max(L0, Lr)
+
+    rev = lambda i: (Lt - 1 - i, 0, 0)  # noqa: E731
+    rev4 = lambda i: (Lt - 1 - i, 0, 0, 0)  # noqa: E731
+    g_map = lambda i: (_stage_of(Lt - 1 - i, L0, Lr), 0, 0)  # noqa: E731
+
+    in_arrays = [g, h_saved, w3, b3.reshape(Lt, 1, C), w1]
+    in_specs = [
+        pl.BlockSpec((1, T, C), g_map),
+        pl.BlockSpec((1, T, C), rev),
+        pl.BlockSpec((1, 3, C, C), rev4),
+        pl.BlockSpec((1, 1, C), rev),
+        pl.BlockSpec((1, C, C), rev),
+    ]
+    if mask is not None:
+        in_arrays.append(mask)
+        in_specs.append(pl.BlockSpec((1, T, C), rev))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((T, C), jnp.float32),
+        jax.ShapeDtypeStruct((Lt, 3, C, C), jnp.float32),
+        jax.ShapeDtypeStruct((Lt, 1, C), jnp.float32),
+        jax.ShapeDtypeStruct((Lt, C, C), jnp.float32),
+        jax.ShapeDtypeStruct((Lt, 1, C), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((T, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3, C, C), rev4),
+        pl.BlockSpec((1, 1, C), rev),
+        pl.BlockSpec((1, C, C), rev),
+        pl.BlockSpec((1, 1, C), rev),
+    )
+    dx, dw3, db3, dw1, db1 = pl.pallas_call(
+        functools.partial(_multi_bwd_kernel, causal=causal, pad=pad, Lt=Lt,
+                          L0=L0, Lr=Lr, use_mask=mask is not None),
+        grid=(Lt,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((T, C), jnp.float32),
+            pltpu.VMEM((pad + T + pad, C), jnp.float32),
+            pltpu.VMEM((pad + T + pad, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*in_arrays)
+    return dx, dw3, db3.reshape(Lt, C), dw1, db1.reshape(Lt, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_multi_train(causal, interpret, L0, Lr, x, w3, b3, w1, b1, mask):
+    return _multi_fwd_call(x, w3, b3, w1, b1, mask, causal=causal, L0=L0,
+                           Lr=Lr, save=False, interpret=interpret)
+
+
+def _fused_multi_train_fwd(causal, interpret, L0, Lr, x, w3, b3, w1, b1, mask):
+    hs, h_saved = _multi_fwd_call(x, w3, b3, w1, b1, mask, causal=causal,
+                                  L0=L0, Lr=Lr, save=True,
+                                  interpret=interpret)
+    return hs, (h_saved, w3, b3, w1, mask)
+
+
+def _fused_multi_train_bwd(causal, interpret, L0, Lr, res, g):
+    h_saved, w3, b3, w1, mask = res
+    dx, dw3, db3, dw1, db1 = _multi_bwd_call(
+        g, h_saved, w3, b3, w1, mask, causal=causal, L0=L0, Lr=Lr,
+        interpret=interpret)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dx, dw3, db3, dw1, db1, dmask
+
+
+_fused_multi_train.defvjp(_fused_multi_train_fwd, _fused_multi_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_multi_eval(causal, interpret, L0, Lr, x, w3, b3, w1, b1):
+    return _multi_fwd_call(x, w3, b3, w1, b1, None, causal=causal, L0=L0,
+                           Lr=Lr, save=False, interpret=interpret)
+
+
+def _fused_multi_eval_fwd(causal, interpret, L0, Lr, x, w3, b3, w1, b1):
+    hs, h_saved = _multi_fwd_call(x, w3, b3, w1, b1, None, causal=causal,
+                                  L0=L0, Lr=Lr, save=True,
+                                  interpret=interpret)
+    return hs, (h_saved, w3, b3, w1)
+
+
+def _fused_multi_eval_bwd(causal, interpret, L0, Lr, res, g):
+    h_saved, w3, b3, w1 = res
+    return _multi_bwd_call(g, h_saved, w3, b3, w1, None, causal=causal,
+                           L0=L0, Lr=Lr, interpret=interpret)
+
+
+_fused_multi_eval.defvjp(_fused_multi_eval_fwd, _fused_multi_eval_bwd)
+
+
+def dilated_residual_multistack(x, w3, b3, w1, b1, L0: int, Lr: int, *,
+                                causal: bool = True, mask=None,
+                                interpret=None):
+    """Run a SEQUENCE of residual stacks (layer counts L0, Lr, Lr, …) as one
+    fused kernel per direction, returning the (S, T, C) stage outputs.
+
+    x (T, C); w3 (Ltot, 3, C, C) etc. are the per-stage stacked weights
+    concatenated along the layer axis; ``mask`` is the concatenated
+    (Ltot, T, C) uint8 dropout keep-mask (train) or None (eval). Layer i
+    uses dilation 2**(local index within its stage)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x = x.astype(jnp.float32)
+    if mask is None:
+        return _fused_multi_eval(causal, interpret, L0, Lr, x, w3, b3, w1, b1)
+    return _fused_multi_train(causal, interpret, L0, Lr, x, w3, b3, w1, b1,
+                              mask)
+
+
+# ---------------------------------------------------------------------------
 # lax-level oracle (CPU fallback / tests)
 # ---------------------------------------------------------------------------
 

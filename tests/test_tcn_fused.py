@@ -57,6 +57,60 @@ def test_fused_grad_matches_oracle(rng, use_mask):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_multistack_matches_stagewise_oracle(rng, causal, use_mask):
+    """The merged multi-stage kernel == running the stages back-to-back
+    through the lax oracle: stage outputs and all gradients (incl. the
+    per-stage-output cotangents joining dh at the right boundary)."""
+    from med_tpu.ops.tcn_fused import dilated_residual_multistack
+
+    L0, Lr, S, T, C = 4, 3, 3, 64, 16
+    Lt = L0 + (S - 1) * Lr
+    x = jnp.asarray(rng.normal(size=(T, C)), jnp.float32)
+    w3 = jnp.asarray(rng.normal(size=(Lt, 3, C, C)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.normal(size=(Lt, C)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(Lt, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(Lt, C)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(Lt, T, C)), jnp.uint8)
+    m = mask if use_mask else None
+
+    bounds = [0, L0, L0 + Lr, L0 + 2 * Lr, Lt]
+
+    def oracle(x, w3, b3, w1, b1):
+        outs = []
+        h = x
+        for s in range(S):
+            a, b = bounds[s], bounds[s + 1]
+            h = dilated_stack_xla(
+                h, w3[a:b], b3[a:b], w1[a:b], b1[a:b], causal=causal,
+                mask=None if m is None else m[a:b])
+            outs.append(h)
+        return jnp.stack(outs)
+
+    got = dilated_residual_multistack(x, w3, b3, w1, b1, L0, Lr,
+                                      causal=causal, mask=m)
+    want = oracle(x, w3, b3, w1, b1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradients: probe every stage output so each cotangent is exercised
+    probe = jnp.cos(jnp.arange(want.size).reshape(want.shape) * 0.01)
+
+    def loss(fn):
+        def f(x, w3, b3, w1, b1):
+            return jnp.sum(fn(x, w3, b3, w1, b1) * probe)
+        return f
+
+    def multi(x, w3, b3, w1, b1):
+        return dilated_residual_multistack(x, w3, b3, w1, b1, L0, Lr,
+                                           causal=causal, mask=m)
+
+    got_g = jax.grad(loss(multi), argnums=(0, 1, 2, 3, 4))(x, w3, b3, w1, b1)
+    want_g = jax.grad(loss(oracle), argnums=(0, 1, 2, 3, 4))(x, w3, b3, w1, b1)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("channel_dropout", [False, True])
 def test_cogstage_fused_matches_module_path(rng, channel_dropout):
     """COGStage(fused=True) == COGStage(fused=False): same params (the fused
@@ -102,6 +156,54 @@ def test_cogstage_fused_train_dropout_runs(rng):
     # two different rng keys -> different masks
     f_tr2, _ = mod.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(f_tr, f_tr2)
+
+
+def test_cog_merged_slow_path_matches_per_stage(rng):
+    """COG(fused=True) routes the slow path through the merged multi-stage
+    kernel; COG(fused=False) runs the per-stage loop. Same param tree, same
+    eval logits, same grads (eval mode: no dropout, so exact up to kernel
+    fp32 noise)."""
+    from med_tpu.models.cog import COG
+
+    kw = dict(num_layers_basic=3, num_layers_r=2, num_r=2, f_maps=16,
+              f_dim=24, out_classes=2, d_model=16, d_q=2, len_q=6,
+              use_pallas=False)
+    merged = COG(**kw, fused=True)
+    plain = COG(**kw, fused=False)
+    x = jnp.asarray(rng.normal(size=(1, 60, 24)), jnp.float32)
+
+    v1 = merged.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, x, False)
+    v2 = plain.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x, False)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(a, b)
+
+    o1, _ = merged.apply(v1, x, False)
+    o2, _ = plain.apply(v1, x, False)
+    assert len(o1) == len(o2)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def loss(mod):
+        def f(params):
+            outs, _ = mod.apply({**v1, "params": params}, x, False)
+            return sum(jnp.sum(o ** 2) for o in outs)
+        return f
+
+    g1 = jax.grad(loss(merged))(v1["params"])
+    g2 = jax.grad(loss(plain))(v1["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # train mode runs through the merged kernel's mask path
+    o_tr, _ = merged.apply(v1, x, True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    assert all(np.isfinite(np.asarray(o)).all() for o in o_tr)
 
 
 def test_tecno_fused_matches_module_path(rng):
