@@ -33,6 +33,24 @@ _BOOL_FIELDS = ["lr_scheduler", "pos_weight", "delete_ND", "siamese",
                 "fused_epoch", "fused_run"]
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache across processes: the relay's cold
+    compiles cost minutes per program, so re-running a CLI with the same
+    shapes should pay tracing only. Safe no-op if the backend does not
+    support the cache."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get(
+                "MED_TPU_CACHE", os.path.expanduser("~/.cache/med_tpu_xla")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        print(f"compilation cache unavailable: {e}")
+
+
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--data-root", required=True,
@@ -71,6 +89,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
 
 
 def make_tracker(args, cfg: ExperimentConfig) -> RunTracker:
+    enable_compilation_cache()
     experiment = args.experiment or (
         f"{cfg.model_name}_{cfg.frequency}Hz_{cfg.data_type}"
     )
@@ -126,6 +145,13 @@ def run_window_folds(
     folds = [f for f in args.folds.split(",") if f]
     tracker = make_tracker(args, cfg)
     fold_results, samples_tr, samples_te = {}, {}, {}
+    # ONE Experiment for all folds: with fold-shape bucketing
+    # (cfg.fold_pad_quantum) the per-fold whole-run programs have identical
+    # shapes, so sharing the jitted step/run callables makes folds 2..N jit
+    # cache hits instead of minutes-long relay recompiles
+    from ..train.engine import Experiment
+
+    shared_exp = Experiment(cfg)
     for out in folds:
         fold_dir = os.path.join(args.data_root, out)
         train_fold, test_fold = build_window_fold(fold_dir, cfg, args.video_root)
@@ -135,7 +161,7 @@ def run_window_folds(
         siamese_data = siamese_fn(out, train_fold, test_fold) if siamese_fn else None
         res = train_window_fold(cfg, train_fold, test_fold, tracker=tracker,
                                 tag=tag, siamese_data=siamese_data,
-                                extras=extras,
+                                extras=extras, exp=shared_exp,
                                 resume=getattr(args, "resume", False))
         best = res["best"]
         save_checkpoint(
@@ -166,6 +192,11 @@ def run_frame_folds(
     tracker = make_tracker(args, cfg)
     fold_results, samples_tr, samples_te = {}, {}, {}
     frame_dumps = {}
+    # shared Experiment: folds whose padded trial shapes coincide reuse the
+    # jitted step / fused-run callables instead of recompiling
+    from ..train.engine import Experiment
+
+    shared_exp = Experiment(cfg)
     for out in folds:
         fold_dir = os.path.join(args.data_root, out)
         train_trials = build_frame_fold(fold_dir, cfg, "train.csv", args.video_root)
@@ -176,6 +207,7 @@ def run_frame_folds(
         gates = gates_fn(out, train_trials, test_trials) if gates_fn else None
         res = train_frame_fold(cfg, train_trials, test_trials, tracker=tracker,
                                frozen=frozen, gates=gates, tag=tag,
+                               exp=shared_exp,
                                resume=getattr(args, "resume", False))
         best = res["best"]
         save_checkpoint(

@@ -153,6 +153,11 @@ class ExperimentConfig:
                                       # TPU scaling option the reference's
                                       # batch_size=1 regime does not have
     max_frames: int = 4096            # frame-model padding bucket ceiling
+    fold_pad_quantum: int = 512       # whole-run fusion: pad each fold's
+                                      # window count up to a multiple of this
+                                      # so LOSO folds of similar size share
+                                      # ONE compiled program (surplus steps
+                                      # are fully-masked no-ops); 0 disables
 
     # ------------------------------------------------------------------
     def __post_init__(self):

@@ -35,11 +35,17 @@ class FusedWindowEpoch:
         fold: Optional[WindowFold] = None,
         extras: Optional[Dict[str, np.ndarray]] = None,
         arrays: Optional[Dict[str, np.ndarray]] = None,
+        bucket: Optional[int] = None,
     ):
         """``fold``: the window-family path. ``arrays``: any indexable
         {images, kinematics, labels} dict instead — used for the siamese
         pair arrays (images (P, 2, W, F)), whose batch protocol is
-        identical (loop.py::_siamese_batches)."""
+        identical (loop.py::_siamese_batches).
+
+        ``bucket``: pad the window axis up to this count (zeros, never
+        selected by the schedule; surplus steps are fully masked) so folds
+        of similar size share ONE compiled program — the cold XLA compile
+        on the relay costs minutes per distinct shape."""
         if exp.family not in ("window", "siamese"):
             raise ValueError("fused epochs support the window families")
         self.cfg = cfg
@@ -57,6 +63,14 @@ class FusedWindowEpoch:
             }
         for k, v in (extras or {}).items():
             self.arrays[k] = jnp.asarray(v)
+        self.n_padded = max(bucket or 0, self.n)
+        if self.n_padded > self.n:
+            pad = self.n_padded - self.n
+            self.arrays = {
+                k: jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+                for k, v in self.arrays.items()
+            }
+        self.steps_real = -(-self.n // cfg.batch_size)
         self._epoch_fn = jax.jit(self._build(), donate_argnums=(0,))
 
     def _build(self):
@@ -79,11 +93,13 @@ class FusedWindowEpoch:
         return epoch
 
     def schedule(self, epoch: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Same deterministic shuffle + padding as ``window_batches``."""
+        """Same deterministic shuffle + padding as ``window_batches``; the
+        shuffle covers only the REAL windows, surplus bucket steps are
+        fully masked (and no-op-gated by the whole-run scan body)."""
         B = self.cfg.batch_size
         idx = np.arange(self.n)
         np.random.default_rng(self.cfg.seed + epoch).shuffle(idx)
-        steps = -(-self.n // B)
+        steps = -(-self.n_padded // B)
         pad = steps * B - self.n
         sel = np.concatenate([idx, np.zeros(pad, np.int64)]).reshape(steps, B)
         mask = np.concatenate(
@@ -265,6 +281,7 @@ class FusedWindowEval:
         fold: Optional[WindowFold] = None,
         extras: Optional[Dict[str, np.ndarray]] = None,
         arrays: Optional[Dict[str, np.ndarray]] = None,
+        bucket: Optional[int] = None,
     ):
         if exp.family not in ("window", "siamese"):
             raise ValueError("fused eval supports the window families")
@@ -283,8 +300,16 @@ class FusedWindowEval:
             }
         for k, v in (extras or {}).items():
             self.arrays[k] = jnp.asarray(v)
+        n_padded = max(bucket or 0, self.n)
+        if n_padded > self.n:
+            padn = n_padded - self.n
+            self.arrays = {
+                k: jnp.pad(v, ((0, padn),) + ((0, 0),) * (v.ndim - 1))
+                for k, v in self.arrays.items()
+            }
         B = cfg.batch_size
-        steps = -(-self.n // B)
+        steps = -(-n_padded // B)
+        self.steps_real = -(-self.n // B)
         pad = steps * B - self.n
         sel = np.concatenate([np.arange(self.n), np.zeros(pad, np.int64)])
         mask = np.concatenate(
@@ -360,8 +385,36 @@ class _FusedRunBase:
 
         return f1_from_cm_device(jnp.sum(ecms, axis=0), self.sel_average)
 
+    def _step_valid(self, batch):
+        """Validity predicate for a train step — fully-masked surplus steps
+        (fold-shape bucketing) must be exact no-ops: gradients are already
+        zero through the masked mean, but Adam moments/step would still
+        advance. None disables gating (frame families: no bucketing)."""
+        return None
+
+    # set False on subclasses whose _build closures capture fold-specific
+    # state (FusedSiameseRun's vote tables)
+    _shareable = True
+
     def _compile(self):
-        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+        """Jit the run function, REUSING one jit wrapper per (runner type,
+        selection config) on the Experiment: a fresh jax.jit per fold would
+        re-trace and re-compile for every fold even when bucketing makes the
+        shapes identical — sharing the callable turns folds 2..N into jit
+        cache hits (the cold relay compile costs minutes per shape)."""
+        if not self._shareable:
+            self._fn = jax.jit(self._build(), donate_argnums=(0,))
+            return
+        key = (type(self).__name__, self.cfg.loss_or_f1, self.sel_average,
+               getattr(self, "G", 1))
+        cache = getattr(self.exp, "_fused_run_cache", None)
+        if cache is None:
+            cache = self.exp._fused_run_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._build(), donate_argnums=(0,))
+            cache[key] = fn
+        self._fn = fn
 
     def _build(self):
         from .optim import set_lr
@@ -372,6 +425,7 @@ class _FusedRunBase:
         mk_tb = self._make_train_batch
         mk_eb = self._make_eval_batch
         score_fn = self._score
+        step_valid = self._step_valid
 
         def run(state: TrainState, tr_arrays, ev_arrays, sched, lrs,
                 ev_sched):
@@ -381,7 +435,12 @@ class _FusedRunBase:
                 state = state.replace(opt_state=set_lr(state.opt_state, lr_e))
 
                 def tbody(c, xs2):
-                    ns, met = tstep(c, mk_tb(tr_arrays, xs2))
+                    batch = mk_tb(tr_arrays, xs2)
+                    ns, met = tstep(c, batch)
+                    valid = step_valid(batch)
+                    if valid is not None:
+                        ns = jax.lax.cond(valid, lambda a, _: a,
+                                          lambda _, b: b, ns, c)
                     return ns, (met["cm"], met["loss"])
 
                 state, (tcms, tlosses) = jax.lax.scan(tbody, state, sched_e)
@@ -394,10 +453,16 @@ class _FusedRunBase:
                 _, (preds, probs, ecms, elosses) = jax.lax.scan(
                     ebody, state, ev_sched)
 
-                score = (
-                    jnp.mean(elosses) if use_loss
-                    else score_fn(preds, ecms)
-                )
+                if use_loss:
+                    # masked mean over the REAL eval steps (surplus bucket
+                    # steps carry garbage losses)
+                    w = ev_sched[1]
+                    ev_valid = ((w if w.ndim == 1 else jnp.sum(w, axis=1))
+                                > 0).astype(elosses.dtype)
+                    score = (jnp.sum(elosses * ev_valid)
+                             / jnp.maximum(jnp.sum(ev_valid), 1.0))
+                else:
+                    score = score_fn(preds, ecms)
                 better = (score < best_score) if use_loss else (score > best_score)
                 ckpt = {"params": state.params,
                         "batch_stats": state.batch_stats,
@@ -448,8 +513,16 @@ class FusedWindowRun(_FusedRunBase):
             raise ValueError("fused runs support the plain window family")
         self.cfg = cfg
         self.exp = exp
-        self.train = FusedWindowEpoch(exp, cfg, train_fold, extras=train_extras)
-        self.eval = FusedWindowEval(exp, cfg, test_fold, extras=test_extras)
+        q = cfg.fold_pad_quantum
+
+        def _bucket(n):
+            return -(-n // q) * q if q > 0 else n
+
+        self.train = FusedWindowEpoch(exp, cfg, train_fold,
+                                      extras=train_extras,
+                                      bucket=_bucket(len(train_fold)))
+        self.eval = FusedWindowEval(exp, cfg, test_fold, extras=test_extras,
+                                    bucket=_bucket(len(test_fold)))
         self.n_test = self.eval.n
         # selection metric (loop.py::_average_for + _better)
         binary = cfg.error_type == "global" or cfg.siamese
@@ -461,6 +534,9 @@ class FusedWindowRun(_FusedRunBase):
         return {**{k: v[s] for k, v in arrays.items()}, "mask": m}
 
     _make_eval_batch = _make_train_batch
+
+    def _step_valid(self, batch):
+        return jnp.any(batch["mask"] > 0)
 
     def _eval_schedule(self):
         return (self.eval._sel, self.eval._mask)
@@ -504,6 +580,8 @@ class FusedSiameseRun(_FusedRunBase):
     reference modeling_utils.py:1180-1250) and the weighted F1 of the
     resulting 2x2 vote CM drives selection — entirely on device via a
     static position->group segment sum."""
+
+    _shareable = False   # _score closes over per-fold vote tables
 
     def __init__(self, exp: Experiment, cfg: ExperimentConfig, siamese_data):
         if exp.family != "siamese":

@@ -331,6 +331,12 @@ def _train_window_fold_fused_run(cfg, exp, state, train_fold, test_fold,
         np.asarray(jax.device_get(o)) for o in outs)
     wall = time.time() - t0
     best_ckpt = jax.device_get(bckpt_dev)
+    # drop the fold-bucketing surplus steps (fully masked no-ops) before the
+    # host bookkeeping: their zero CMs / garbage losses must not enter the
+    # per-batch metric means
+    st, se = runner.train.steps_real, runner.eval.steps_real
+    tcms, tlosses = tcms[:, :st], tlosses[:, :st]
+    ecms, elosses = ecms[:, :se], elosses[:, :se]
 
     n_test = runner.n_test
     best_i, degenerate = _fused_run_history(

@@ -177,6 +177,49 @@ def test_fused_run_matches_fused_epochs(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_fold_bucketing_shares_one_compiled_program(tmp_path, rng):
+    """Two folds of different window counts inside the same
+    fold_pad_quantum bucket reuse ONE compiled whole-run executable (the
+    shared-Experiment jit wrapper sees identical shapes), and the surplus
+    fully-masked steps leave the results equal to the unbucketed run."""
+    import jax
+    from med_tpu.train.engine import Experiment
+    from med_tpu.train.fused import FusedWindowRun
+
+    cfg = ExperimentConfig(model_name="SimpleCNN", batch_size=32, n_epochs=2,
+                           lr=1e-3, fold_pad_quantum=512, use_pallas=False)
+    folds = []
+    for i, frames in enumerate((160, 200)):
+        root = tmp_path / f"f{i}"
+        root.mkdir()
+        folds.append(build_window_fold(
+            make_synth_fold(root, rng, frames_per_trial=frames), cfg))
+    assert len(folds[0][0]) != len(folds[1][0])
+
+    exp = Experiment(cfg)
+    runners = [FusedWindowRun(exp, cfg, tf, ef) for tf, ef in folds]
+    assert runners[0]._fn is runners[1]._fn  # shared jit wrapper
+    results = []
+    for (tf, ef), r in zip(folds, runners):
+        state = exp.init_state(
+            jax.random.key(cfg.seed),
+            {"images": tf.images[:32], "kinematics": tf.kinematics[:32],
+             "labels": tf.labels_for(cfg.error_type)[:32],
+             "mask": np.ones(32, np.float32)})
+        results.append(r.run(state, 0, cfg.n_epochs))
+    # one executable serves both folds
+    assert runners[0]._fn._cache_size() == 1
+
+    # bucketed == unbucketed, per fold
+    cfg0 = cfg.replace(fold_pad_quantum=0)
+    for (tf, ef), (_, _, outs) in zip(folds, results):
+        res = train_window_fold(cfg0, tf, ef)
+        scores = np.asarray(outs[-1])
+        for e, row in enumerate(res["history"]):
+            assert float(scores[e]) == pytest.approx(
+                row.get("test_f1_weighted", row["test_f1"]), abs=1e-5)
+
+
 # ----------------------------------------------------------- frame families
 def _frame_cfg(**kw):
     base = dict(
