@@ -103,8 +103,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from med_tpu.cli.common import enable_compilation_cache
     from med_tpu.config import ExperimentConfig
     from med_tpu.train.engine import Experiment
+
+    # persistent XLA cache: repeated bench runs skip the relay's cold
+    # compiles (measured 11.8 s -> 0.8 s for a scan program across processes)
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
