@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attend, layer_norm, sliding_windows
+from ..ops.attention import layer_norm, sliding_windows
 from .layers import torch_default_kernel
 
 
@@ -35,7 +35,22 @@ class _Kernel(nn.Module):
 
 class MHA(nn.Module):
     """Projections + scaled-dot-product + output proj + unlearned LN
-    (reference MultiHeadAttention, models_TCN.py:196-232)."""
+    (reference MultiHeadAttention, models_TCN.py:196-232).
+
+    TPU-first restructure (round 3): the model/channel width here is the
+    CLASS width (d_model = out_classes, typically 2), far below d_k = 64, so
+    the projection pairs collapse algebraically —
+
+        scores = (x W_Qh)(y W_Kh)^T / sqrt(d_k) = x A_h y^T,
+            A_h = W_Qh W_Kh^T / sqrt(d_k)           (d_model, d_model)
+        out   = Σ_h P_h (y W_Vh) fc_h = Σ_h P_h y M_h,
+            M_h = W_Vh fc_h                          (d_model, d_model)
+
+    so the (B, H, L, 64) q/k/v/ctx tensors (≈250 MB each per TSVN trial at
+    T=4096·W=30) never exist: only (H, d_model, d_model) mixing matrices and
+    the irreducible (B, H, Lq, Lk) attention weights. Exact same math, same
+    param tree ("W_Q/W_K/W_V/fc" kernels, unchanged shapes/init), so
+    reference-checkpoint import and all parity oracles are unaffected."""
 
     d_model: int
     d_k: int
@@ -44,26 +59,30 @@ class MHA(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in):
-        # Head-major projections via einsum: each kernel param is the plain
-        # (d_in, H*d) matrix of an nn.Dense(use_bias=False) — same
-        # "<name>/kernel" path, shape and init — but the (B, H, L, d)
-        # layout is folded into the matmul, so no transposes of the ~60 MB
-        # windowed projection tensors appear on the graph (they dominated
-        # the round-1 TSVN step).
-        def head_proj(x, d, name):
-            kernel = _Kernel(d * self.n_heads, name=name)(x.shape[-1])
-            hk = kernel.reshape(x.shape[-1], self.n_heads, d)
-            return jnp.einsum("bld,dhk->bhlk", x, hk)
+        import math as _math
 
-        q = head_proj(q_in, self.d_k, "W_Q")
-        k = head_proj(k_in, self.d_k, "W_K")
-        v = head_proj(v_in, self.d_v, "W_V")
-        ctx = attend(q, k, v)  # (B, H, Lq, d_v)
+        d_in_q = q_in.shape[-1]
+        d_in_kv = k_in.shape[-1]
+        wq = _Kernel(self.d_k * self.n_heads, name="W_Q")(d_in_q)
+        wk = _Kernel(self.d_k * self.n_heads, name="W_K")(d_in_kv)
+        wv = _Kernel(self.d_v * self.n_heads, name="W_V")(d_in_kv)
         fc = _Kernel(self.d_model, name="fc")(self.n_heads * self.d_v)
-        out = jnp.einsum(
-            "bhlv,hvm->blm", ctx,
+
+        A = jnp.einsum(
+            "dhk,ehk->hde",
+            wq.reshape(d_in_q, self.n_heads, self.d_k),
+            wk.reshape(d_in_kv, self.n_heads, self.d_k),
+        ) / _math.sqrt(self.d_k)                      # (H, d_q, d_kv)
+        M = jnp.einsum(
+            "ehv,hvm->hem",
+            wv.reshape(d_in_kv, self.n_heads, self.d_v),
             fc.reshape(self.n_heads, self.d_v, self.d_model),
-        )
+        )                                             # (H, d_kv, d_model)
+
+        scores = jnp.einsum("bld,hde,bme->bhlm", q_in, A, k_in)
+        p = jax.nn.softmax(scores, axis=-1)           # (B, H, Lq, Lk)
+        w = jnp.einsum("bhlm,bme->bhle", p, v_in)     # (B, H, Lq, d_kv)
+        out = jnp.einsum("bhle,hem->blm", w, M)
         return layer_norm(out + q_in)
 
 
