@@ -223,15 +223,16 @@ def main():
         "true_len": jnp.asarray(T, jnp.int32),
     }
     cog_state = exp_cog.init_state(jax.random.key(1), fbatch)
+    cog_params = exp_cog.params_tree(cog_state.params)
 
     def make_cog_run():
         @jax.jit
         def run(images, n):
             def body(i, im):
-                feats = exp_cog.fe.apply({"params": cog_state.params["fe"]}, im)
+                feats = exp_cog.fe.apply({"params": cog_params["fe"]}, im)
                 x = jnp.concatenate([feats, fbatch["kinematics"]], axis=-1)
                 out_list, _ = exp_cog.model.apply(
-                    {"params": cog_state.params["model"],
+                    {"params": cog_params["model"],
                      "constants": cog_state.constants["model"]},
                     x, train=False,
                 )

@@ -153,6 +153,15 @@ class ExperimentConfig:
                                       # TPU scaling option the reference's
                                       # batch_size=1 regime does not have
     max_frames: int = 4096            # frame-model padding bucket ceiling
+    flat_params: bool = False         # frame families: store params as ONE
+                                      # flat vector (state.params={'flat':v}).
+                                      # Measured SLOWER on v5e (COG step 4.5
+                                      # vs 3.0 ms): the per-step unflatten
+                                      # slice fan-out does not fuse into the
+                                      # forward, while optax.flatten's pack/
+                                      # unpack does. Kept as an option;
+                                      # checkpoints always see trees
+                                      # (Experiment.params_tree)
     fold_pad_quantum: int = 512       # whole-run fusion: pad each fold's
                                       # window count up to a multiple of this
                                       # so LOSO folds of similar size share

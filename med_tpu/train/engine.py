@@ -62,8 +62,18 @@ class Experiment:
         self.cfg = cfg
         self.model = build_model(cfg, prompt_path=prompt_path)
         self.fe = build_feature_extractor(cfg)
-        self.tx = make_optimizer(cfg)
         self.family = self._family()
+        # Frame families hold params as ONE flat vector: the one-trial-per-
+        # step regime is latency-bound on op count, and a ~150-leaf tree
+        # costs per-leaf Adam ops plus optax.flatten's per-step pack/unpack
+        # (~0.3 ms of a ~3 ms COG step). With flat params the unflatten is
+        # a fan-out of slices XLA fuses into the forward, the gradient
+        # arrives flat by construction (the slice VJP is one concat), and
+        # Adam + the update are single fused vector ops.
+        self._flat = (cfg.flat_params
+                      and self.family in ("tecno", "tsvn", "cog"))
+        self._unravel = None
+        self.tx = make_optimizer(cfg, flat=self._flat)
         # TransSVNet refines a frozen TeCNo instantiated from the same config
         # with the model name swapped (reference modeling_utils.py:2263-2268);
         # only its *params* travel in state.frozen — the module is static.
@@ -124,6 +134,12 @@ class Experiment:
         if class_counts is not None:
             constants["class_counts"] = jnp.asarray(class_counts, jnp.float32)
 
+        if self._flat:
+            from jax.flatten_util import ravel_pytree
+
+            flat, unravel = ravel_pytree(params)
+            self._unravel = unravel
+            params = {"flat": flat}
         opt_state = self.tx.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -140,6 +156,14 @@ class Experiment:
 
     def eval_step(self, state: TrainState, batch):
         return self._eval_step(state, batch)
+
+    def params_tree(self, params):
+        """The nested param tree for a (possibly flat) ``state.params`` —
+        the boundary adapter for checkpointing/serving, which always see
+        trees."""
+        if self._flat and isinstance(params, dict) and set(params) == {"flat"}:
+            return self._unravel(params["flat"])
+        return params
 
     # ----------------------------------------------------------- internals
     def _images(self, batch):
@@ -173,6 +197,7 @@ class Experiment:
         cfg = self.cfg
 
         def loss_and_metrics(params, batch_stats, constants, frozen, batch, rng, train):
+            params = self.params_tree(params)
             x = self._assemble(params, batch, train, rng)
             variables = {"params": params["model"]}
             if "model" in batch_stats:

@@ -706,7 +706,8 @@ def train_frame_fold(
                          ("preds", "probs", "labels", "raw_labels", "gestures",
                           "subjects", "cm")})
             best_ckpt = jax.device_get(
-                {"params": state.params, "batch_stats": state.batch_stats,
+                {"params": exp.params_tree(state.params),
+                 "batch_stats": state.batch_stats,
                  "constants": state.constants}
             )
         if resume_path:
@@ -733,7 +734,9 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
     tcms, tlosses, preds_all, probs_all, ecms, elosses, scores = (
         np.asarray(jax.device_get(o)) for o in outs)
     wall = time.time() - t0
-    best_ckpt = jax.device_get(bckpt_dev)
+    # flat frame-family params -> tree at the checkpoint boundary
+    best_ckpt = jax.device_get(
+        {**bckpt_dev, "params": exp.params_tree(bckpt_dev["params"])})
 
     n_frames_total = sum(int(b["true_len"]) for b in test_batches)
     history = []

@@ -23,19 +23,23 @@ def cosine_lr(epoch: int, base_lr: float, n_epochs: int, eta_min: float = 1e-6) 
     return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / n_epochs)) / 2
 
 
-def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: ExperimentConfig,
+                   flat: bool = False) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.inject_hyperparams(optax.scale)(step_size=-cfg.lr),
     )
     # Frame-family models (~150 param leaves) run one trial per step, so the
-    # per-leaf Adam update is a latency-bound tail of ~450 tiny ops;
-    # optax.flatten runs the whole chain over one concatenated vector
-    # (identical math, single fused update). The window family keeps per-leaf
-    # states because parallel/mesh.py assigns tensor-parallel placement to FE
-    # moments *by shape* (a flat vector couldn't ride the TP layout).
-    if cfg.model_name in ("TeCNo", "TransSVNet", "COG"):
+    # per-leaf Adam update is a latency-bound tail of ~450 tiny ops. With
+    # ``flat`` the engine itself stores params as ONE vector (engine.py), so
+    # the chain is naturally single-leaf; otherwise optax.flatten runs the
+    # chain over a per-step concatenated vector (identical math, but pays a
+    # pack/unpack round trip every step). The window family keeps per-leaf
+    # states because parallel/mesh.py assigns tensor-parallel placement by
+    # param-tree path, which the Adam moments mirror (a flat vector has no
+    # paths to match).
+    if not flat and cfg.model_name in ("TeCNo", "TransSVNet", "COG"):
         tx = optax.flatten(tx)
     return tx
 

@@ -30,6 +30,7 @@ def main():
     cfg = ExperimentConfig(
         model_name="COG", dataset_type="frame", data_type="multimodal",
         out_features=2, batch_size=1, mstcn_stages=8, use_pallas=on_tpu,
+        flat_params=os.environ.get("MED_FLAT", "1") == "1",
     )
     exp = Experiment(cfg)
     fbatch = {

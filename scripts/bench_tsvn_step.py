@@ -81,7 +81,7 @@ def main():
     from med_tpu.ops.attention import sliding_windows
 
     model = exp.model
-    params = state.params["model"]
+    params = exp.params_tree(state.params)["model"]
     logits = jnp.asarray(rng.normal(size=(1, T, 2)), jnp.float32)
     feats = jnp.asarray(rng.normal(size=(1, T, cfg.in_features())), jnp.float32)
 
