@@ -37,6 +37,7 @@ Reference quirks reproduced deliberately:
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
@@ -57,9 +58,10 @@ from .transsvnet import PoswiseFFN
 
 class _PackedProj(nn.Module):
     """Bias-free QKV projection emitting the sliding-window attention
-    kernel's PACKED layout directly: (N, d) -> (H, dk, N) — the big token
-    axis stays on lanes, so no minor-dim-8 tensors (which XLA lane-pads
-    16x physically) ever hit HBM.
+    kernel's PACKED layout directly: (N, d) — or (d, N) when
+    ``transposed`` — -> (H, dk, N). The big token axis stays on lanes, so
+    no minor-dim-8 tensors (which XLA lane-pads 16x physically) ever hit
+    HBM.
 
     The kernel param is the plain (d_in, H*dk) matrix of an
     ``nn.Dense(use_bias=False)`` — same path ("<name>/kernel"), shape and
@@ -69,15 +71,69 @@ class _PackedProj(nn.Module):
 
     d_q: int
     n_heads: int
+    transposed: bool = False   # input is feature-major (d, N)
 
     @nn.compact
     def __call__(self, x):
+        d_in = x.shape[0] if self.transposed else x.shape[-1]
         kernel = self.param(
             "kernel", torch_default_kernel,
-            (x.shape[-1], self.d_q * self.n_heads),
+            (d_in, self.d_q * self.n_heads),
         )
-        hk = kernel.reshape(x.shape[-1], self.n_heads, self.d_q)
+        hk = kernel.reshape(d_in, self.n_heads, self.d_q)
+        if self.transposed:
+            return jnp.einsum("dn,dhk->hkn", x, hk)
         return jnp.einsum("nd,dhk->hkn", x, hk)
+
+
+def _ln0(x, eps: float = 1e-5):
+    """Affine-free layer norm over axis 0 (the feature axis of the d-major
+    encoder layout) — same math as ops.attention.layer_norm on the moved
+    axis.
+
+    The encoder keeps every intermediate strictly 2D (d, N=T*M): a 3D
+    (d, T, M) layout puts M=15 on lanes, which XLA pads to 128 — every
+    materialization then costs an 8.5x-amplified relayout copy (~0.4 ms/step
+    measured round 3)."""
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class _LayerNormD(nn.Module):
+    """Learned LayerNorm applied over AXIS 0 of a (d, ...) feature-major
+    tensor. Param names/shapes ("scale", "bias", (d,)) match nn.LayerNorm,
+    so checkpoints and the torch importers see the usual layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        shape = (self.features,) + (1,) * (x.ndim - 1)
+        return _ln0(x) * scale.reshape(shape) + bias.reshape(shape)
+
+
+class _FFNT(nn.Module):
+    """PoswiseFFN applied in the feature-major layout: same param tree as
+    :class:`med_tpu.models.transsvnet.PoswiseFFN` (children Dense_0 /
+    Dense_1 with (d_in, d_out) kernels), but the matmuls run transposed so
+    no (N, d) relayout of the big token axis is needed."""
+
+    d_model: int
+    d_ff: int
+
+    @nn.compact
+    def __call__(self, x):
+        from .transsvnet import _Kernel
+
+        w1 = _Kernel(self.d_ff, name="Dense_0")(self.d_model)
+        w2 = _Kernel(self.d_model, name="Dense_1")(self.d_ff)
+        y = jnp.einsum("df,dtm->ftm", w1, x)
+        y = nn.relu(y)
+        y = jnp.einsum("fd,ftm->dtm", w2, y)
+        return _ln0(y + x)
 
 
 class COGAttention(nn.Module):
@@ -104,6 +160,35 @@ class COGAttention(nn.Module):
         return layer_norm(ctx + q_in)
 
 
+class _COGAttentionD(nn.Module):
+    """COGAttention (single-head, no output projection, residual +
+    unlearned LN — models_COG.py:14-47) in the feature-major layout, with
+    the frame-invariant K/V (the prompt tokens) projected ONCE.
+
+    Same param tree as :class:`COGAttention` (children W_Q/W_K/W_V Dense
+    kernels), so checkpoints/importers are unaffected."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, text, text0):
+        """text (d, T, M) feature-major queries; text0 (M, d) shared K/V
+        rows -> (d, T, M)."""
+        from .transsvnet import _Kernel
+
+        d = self.d_model
+        wq = _Kernel(d, name="W_Q")(d)
+        wk = _Kernel(d, name="W_K")(d)
+        wv = _Kernel(d, name="W_V")(d)
+        qp = jnp.einsum("dtm,de->etm", text, wq)
+        k0 = text0 @ wk                               # (M, d)
+        v0 = text0 @ wv
+        scores = jnp.einsum("etm,je->jtm", qp, k0) / math.sqrt(d)
+        attn = jax.nn.softmax(scores, axis=0)
+        ctx = jnp.einsum("jtm,je->etm", attn, v0)
+        return _ln0(ctx + text)
+
+
 class COGEncoderLayer(nn.Module):
     """EncoderLayer_COG: learned pre-norms around the fused local attention.
 
@@ -121,24 +206,27 @@ class COGEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, text, visual_seq, train: bool = False):
-        """text (T, M, d_model), visual_seq (T + window - 1, d_model) with
-        explicit left-pad rows -> (T, M, d_model).
+        """text (d_model, T, M) FEATURE-MAJOR, visual_seq (T + window - 1,
+        d_model) with explicit left-pad rows -> (d_model, T, M).
 
         The caller prepends ``window - 1`` pad rows: the reference layer-norms
         the *windowed* visual tensor, so the zero-pad slots of early windows
         carry the learned LN bias β (not zeros) into the K/V projections.
         Passing a pre-padded sequence whose pad rows are norm(0)=β and
         shifting the query alignment reproduces that exactly.
-        """
-        T, M, _ = text.shape
-        q_in = nn.LayerNorm(name="norm1")(text)
 
-        # Bias-free projections straight to the attention kernel's PACKED
-        # layout (param path/shape identical to the former nn.Dense: kernel
-        # (d_model, H*d_q)); the einsum output layout is folded into the
-        # matmul, so no minor-dim-8 tensors appear on the graph.
-        q = _PackedProj(self.d_q, self.n_heads, name="W_Q")(
-            q_in.reshape(T * M, self.d_model))           # (H, dk, T*M)
+        The whole encoder stack stays feature-major (d on sublanes, the big
+        T*M token axis on lanes): the packed projection consumes (d, N)
+        directly and the kernel's (H, dv, N) context merges back to
+        (H*dv, N) = (d_model, N) with a FREE leading-dim reshape — the
+        (T, M, 64) <-> (15360, 8, 8) relayout copies around every layer
+        (~0.4 ms of the round-3 COG step profile) disappear.
+        """
+        _, T, M = text.shape
+        q_in = _LayerNormD(self.d_model, name="norm1")(text)
+
+        q = _PackedProj(self.d_q, self.n_heads, transposed=True,
+                        name="W_Q")(q_in.reshape(self.d_model, T * M))
         k = _PackedProj(self.d_q, self.n_heads, name="W_K")(visual_seq)
         v = _PackedProj(self.d_q, self.n_heads, name="W_V")(visual_seq)
 
@@ -150,11 +238,12 @@ class COGEncoderLayer(nn.Module):
         # ops/attention.py and CLAUDE.md round-2 perf notes.
         ctx = sliding_window_attention_packed(
             q, k, v, self.window, M, self.use_pallas)[:, :, pad * M:]
-        ctx = ctx.transpose(2, 0, 1).reshape(T, M, self.n_heads * self.d_q)
-        out = layer_norm(ctx + q_in)  # unlearned LN inside COG attention
+        # (H, dv, N) -> (H*dv, T, M): leading-dim merge, no data movement
+        ctx = ctx.reshape(self.n_heads * self.d_q, T, M)
+        out = _ln0(ctx + q_in)  # unlearned LN inside COG attention
 
-        out = nn.LayerNorm(name="norm3")(out)
-        return PoswiseFFN(self.d_model, self.d_ff, name="ffn")(out)
+        out = _LayerNormD(self.d_model, name="norm3")(out)
+        return _FFNT(self.d_model, self.d_ff, name="ffn")(out)
 
 
 class ChainOfGestureTransformer(nn.Module):
@@ -183,19 +272,22 @@ class ChainOfGestureTransformer(nn.Module):
         # the reference, so pad rows become norm(0) = β; prepend them here.
         visual = jnp.pad(visual, ((self.len_q - 1, 0), (0, 0)))
         visual = nn.LayerNorm(name="enc_norm")(visual)
-        text = jnp.broadcast_to(text0[None], (T, M, self.d_model))
+        # feature-major (d, T, M) through the whole encoder stack (see
+        # COGEncoderLayer): one transpose at the very end instead of
+        # relayout copies around every layer
+        text = jnp.broadcast_to(text0.T[:, None, :], (self.d_model, T, M))
         for i in range(self.n_layers):
             text = COGEncoderLayer(
                 self.d_model, self.f_dim, self.d_q, self.n_heads,
                 self.len_q, self.use_pallas, name=f"layer{i}",
             )(text, visual, train)
 
-        # final single-head attention: text' attends the original text tokens
-        text_kv = jnp.broadcast_to(text0[None], (T, M, self.d_model))
-        out = COGAttention(self.d_model, self.d_model, 1, name="atten")(
-            text, text_kv, text_kv
-        )
-        return out.reshape(T, M * self.d_model)
+        # final single-head attention over the M original text tokens
+        # (COGAttention semantics: no output projection, residual +
+        # unlearned LN; the K/V are the SAME text0 rows for every frame, so
+        # they project once — (M, d) — instead of per frame)
+        out = _COGAttentionD(self.d_model, name="atten")(text, text0)
+        return out.transpose(1, 2, 0).reshape(T, M * self.d_model)
 
 
 class COGStage(nn.Module):

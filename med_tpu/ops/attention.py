@@ -387,26 +387,33 @@ def _band_t(rows, cols, m, window):
 
 
 def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m, kh):
-    i = pl.program_id(1)
-    dk = q_ref.shape[1]
+    """One grid cell = one query tile, ALL heads (static in-kernel loop).
+
+    Head-per-cell was 8x more grid cells; at these sizes each cell's
+    matmuls are microseconds, so the per-cell fixed cost dominated the
+    kernel time (round-3 measurement) — folding the head loop inside the
+    cell amortizes it."""
+    i = pl.program_id(0)
+    H, dk, _ = q_ref.shape
     n = tile * m
-    q = q_ref[0]                                  # (dk, tile*m)
-    kk = k_ref[0, :, pl.ds(i * tile, kh)]          # (dk, kh)
-    vv = v_ref[0, :, pl.ds(i * tile, kh)]          # (dv, kh)
-    scores = jax.lax.dot_general(
-        kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk)                              # (kh, tile*m)
     in_band = _band_t(kh, n, m, window)
-    neg = jnp.finfo(scores.dtype).min
-    smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
-    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-    attn = p / jnp.sum(p, axis=0, keepdims=True)
-    out = jax.lax.dot_general(
-        vv, attn, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (dv, tile*m)
-    o_ref[0] = out.astype(o_ref.dtype)
+    neg = -jnp.finfo(jnp.float32).max
+    for h in range(H):
+        q = q_ref[h]                               # (dk, tile*m)
+        kk = k_ref[h, :, pl.ds(i * tile, kh)]       # (dk, kh)
+        vv = v_ref[h, :, pl.ds(i * tile, kh)]       # (dv, kh)
+        scores = jax.lax.dot_general(
+            kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(dk)                          # (kh, tile*m)
+        smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
+        p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+        attn = p / jnp.sum(p, axis=0, keepdims=True)
+        out = jax.lax.dot_general(
+            vv, attn, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (dv, tile*m)
+        o_ref[h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
@@ -429,13 +436,13 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
         functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m,
                           kh=halo),
         out_shape=jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
-        grid=(H, n_tiles),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, dk, tile * m), lambda h, t: (h, 0, t)),
-            pl.BlockSpec((1, dk, Tk), lambda h, t: (h, 0, 0)),
-            pl.BlockSpec((1, dv, Tk), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((H, dk, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, dk, Tk), lambda t: (0, 0, 0)),
+            pl.BlockSpec((H, dv, Tk), lambda t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, dv, tile * m), lambda h, t: (h, 0, t)),
+        out_specs=pl.BlockSpec((H, dv, tile * m), lambda t: (0, 0, t)),
         interpret=interpret,
     )(qh, kh, vh)
     return out[:, :, :N]
@@ -443,55 +450,57 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
 
 def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
                       dq_ref, dk_ref, dv_ref, *, window, tile, m, kh):
-    i = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    dk_d = qa_ref.shape[1]
+    """One grid cell = one key tile, ALL heads (see the forward kernel's
+    note: per-cell fixed cost dominated the head-per-cell variant)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    H, dk_d, _ = qa_ref.shape
     n = tile * m
     ext = (window - 1) * m
-    q = jnp.concatenate([qa_ref[0], qb_ref[0][:, :ext]], axis=1)  # (dk, qn)
-    g = jnp.concatenate([ga_ref[0], gb_ref[0][:, :ext]], axis=1)  # (dv, qn)
     qn = n + ext
-    kk = k_ref[0, :, pl.ds(i * tile, kh)]
-    vv = v_ref[0, :, pl.ds(i * tile, kh)]
-
-    scores = jax.lax.dot_general(
-        kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk_d)                            # (kh, qn)
     in_band = _band_t(kh, qn, m, window)
-    neg = jnp.finfo(scores.dtype).min
-    smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
-    p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-    a = p / jnp.sum(p, axis=0, keepdims=True)      # (kh, qn)
-
+    neg = -jnp.finfo(jnp.float32).max
     # zero non-existent extension queries (clamped duplicate, last tile)
     col = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 1)
     valid = (i * tile + col // m) < n_tiles * tile
-    a = jnp.where(valid, a, 0.0)
+    for h in range(H):
+        q = jnp.concatenate([qa_ref[h], qb_ref[h][:, :ext]], axis=1)  # (dk, qn)
+        g = jnp.concatenate([ga_ref[h], gb_ref[h][:, :ext]], axis=1)  # (dv, qn)
+        kk = k_ref[h, :, pl.ds(i * tile, kh)]
+        vv = v_ref[h, :, pl.ds(i * tile, kh)]
 
-    da = jax.lax.dot_general(
-        vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (kh, qn)
-    da = jnp.where(in_band, da, 0.0)
-    ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True)) / math.sqrt(dk_d)
+        scores = jax.lax.dot_general(
+            kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(dk_d)                        # (kh, qn)
+        smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
+        p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+        a = p / jnp.sum(p, axis=0, keepdims=True)  # (kh, qn)
+        a = jnp.where(valid, a, 0.0)
 
-    dq = jax.lax.dot_general(
-        kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (dk, qn)
-    dq_ref[0] = dq[:, :n].astype(dq_ref.dtype)
+        da = jax.lax.dot_general(
+            vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (kh, qn)
+        da = jnp.where(in_band, da, 0.0)
+        ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True)) / math.sqrt(dk_d)
 
-    dk_union = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (KH, dk)
-    dv_union = jax.lax.dot_general(
-        a, g, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (KH, dv)
-    dk_ref[0] = dk_union[window - 1: window - 1 + tile].astype(dk_ref.dtype)
-    dv_ref[0] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
+        dq = jax.lax.dot_general(
+            kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (dk, qn)
+        dq_ref[h] = dq[:, :n].astype(dq_ref.dtype)
+
+        dk_union = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (kh, dk)
+        dv_union = jax.lax.dot_general(
+            a, g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (kh, dv)
+        dk_ref[h] = dk_union[window - 1: window - 1 + tile].astype(dk_ref.dtype)
+        dv_ref[h] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
@@ -521,21 +530,21 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
             jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),
             jax.ShapeDtypeStruct((H, Tp, dv_d), v.dtype),
         ),
-        grid=(H, n_tiles),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, dk_d, tile * m), lambda h, t: (h, 0, t)),
-            pl.BlockSpec((1, dk_d, tile * m),
-                         lambda h, t: (h, 0, jnp.minimum(t + 1, last))),
-            pl.BlockSpec((1, dv_d, tile * m), lambda h, t: (h, 0, t)),
-            pl.BlockSpec((1, dv_d, tile * m),
-                         lambda h, t: (h, 0, jnp.minimum(t + 1, last))),
-            pl.BlockSpec((1, dk_d, Tk), lambda h, t: (h, 0, 0)),
-            pl.BlockSpec((1, dv_d, Tk), lambda h, t: (h, 0, 0)),
+            pl.BlockSpec((H, dk_d, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, dk_d, tile * m),
+                         lambda t: (0, 0, jnp.minimum(t + 1, last))),
+            pl.BlockSpec((H, dv_d, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, dv_d, tile * m),
+                         lambda t: (0, 0, jnp.minimum(t + 1, last))),
+            pl.BlockSpec((H, dk_d, Tk), lambda t: (0, 0, 0)),
+            pl.BlockSpec((H, dv_d, Tk), lambda t: (0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, dk_d, tile * m), lambda h, t: (h, 0, t)),
-            pl.BlockSpec((1, tile, dk_d), lambda h, t: (h, t, 0)),
-            pl.BlockSpec((1, tile, dv_d), lambda h, t: (h, t, 0)),
+            pl.BlockSpec((H, dk_d, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, tile, dk_d), lambda t: (0, t, 0)),
+            pl.BlockSpec((H, tile, dv_d), lambda t: (0, t, 0)),
         ),
         interpret=interpret,
     )(qh, qh, gh, gh, kh, vh)

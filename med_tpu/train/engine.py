@@ -212,8 +212,17 @@ class Experiment:
             if family == "siamese":
                 out = self.model.apply(variables, x[:, 0], x[:, 1], **apply_kw)
             elif family == "tsvn":
+                # Stop gradients at TeCNo's INPUT, not just its output: x
+                # carries FE-param tangents, and a tangent-carrying input
+                # makes the custom-VJP pick the *saving* forward — 8 stages
+                # of per-layer residuals (L,T,C) written to HBM for a
+                # backward that the output stop_gradient then discards
+                # (and a VMEM OOM at T=8192). The output stop already
+                # killed d(x)/d(fe) through TeCNo, so this is the same
+                # function, computed by the save-free primal.
                 tecno_out = self.frozen_tecno.apply(
-                    {"params": frozen["tecno_params"]}, x, train=False
+                    {"params": frozen["tecno_params"]},
+                    jax.lax.stop_gradient(x), train=False
                 )
                 tecno_logits = jax.lax.stop_gradient(tecno_out[-1])
                 out = self.model.apply(variables, tecno_logits, x, **apply_kw)

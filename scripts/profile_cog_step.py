@@ -52,14 +52,10 @@ def main():
     # parse the xplane: sum device-op durations by name
     paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
     print("xplane files:", paths, flush=True)
-    from xprof.convert import _pywrap_profiler_plugin as pp  # noqa
-
     try:
-        from tensorflow.python.profiler.internal import _pywrap_profiler  # noqa
-    except Exception:
-        pass
-    # direct protobuf parse
-    from xprof.protobuf import xplane_pb2
+        from xprof.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     for path in paths:
         xs = xplane_pb2.XSpace()
