@@ -81,7 +81,8 @@ def main():
     from med_tpu.ops.attention import sliding_windows
 
     model = exp.model
-    params = exp.params_tree(state.params)["model"]
+    # the main timer donated `state`'s buffers; copy the params out
+    params = jax.tree.map(jnp.copy, exp.params_tree(state.params)["model"])
     logits = jnp.asarray(rng.normal(size=(1, T, 2)), jnp.float32)
     feats = jnp.asarray(rng.normal(size=(1, T, cfg.in_features())), jnp.float32)
 
