@@ -119,7 +119,10 @@ class _FFNT(nn.Module):
     """PoswiseFFN applied in the feature-major layout: same param tree as
     :class:`med_tpu.models.transsvnet.PoswiseFFN` (children Dense_0 /
     Dense_1 with (d_in, d_out) kernels), but the matmuls run transposed so
-    no (N, d) relayout of the big token axis is needed."""
+    no (N, d) relayout of the big token axis is needed. x is strictly 2D
+    (d, N): any 3D (d, T, M) intermediate would put M=15 on lanes (XLA
+    pads to 128 — an 8.5x physical blow-up with relayout copies on every
+    materialization, ~0.3 ms/step measured round 3)."""
 
     d_model: int
     d_ff: int
@@ -130,9 +133,9 @@ class _FFNT(nn.Module):
 
         w1 = _Kernel(self.d_ff, name="Dense_0")(self.d_model)
         w2 = _Kernel(self.d_model, name="Dense_1")(self.d_ff)
-        y = jnp.einsum("df,dtm->ftm", w1, x)
+        y = jnp.einsum("df,dn->fn", w1, x)
         y = nn.relu(y)
-        y = jnp.einsum("fd,ftm->dtm", w2, y)
+        y = jnp.einsum("fd,fn->dn", w2, y)
         return _ln0(y + x)
 
 
@@ -172,20 +175,20 @@ class _COGAttentionD(nn.Module):
 
     @nn.compact
     def __call__(self, text, text0):
-        """text (d, T, M) feature-major queries; text0 (M, d) shared K/V
-        rows -> (d, T, M)."""
+        """text (d, N) feature-major queries (N = T*M); text0 (M, d) shared
+        K/V rows -> (d, N). Strictly 2D — see :class:`_FFNT`."""
         from .transsvnet import _Kernel
 
         d = self.d_model
         wq = _Kernel(d, name="W_Q")(d)
         wk = _Kernel(d, name="W_K")(d)
         wv = _Kernel(d, name="W_V")(d)
-        qp = jnp.einsum("dtm,de->etm", text, wq)
+        qp = jnp.einsum("dn,de->en", text, wq)
         k0 = text0 @ wk                               # (M, d)
         v0 = text0 @ wv
-        scores = jnp.einsum("etm,je->jtm", qp, k0) / math.sqrt(d)
+        scores = jnp.einsum("en,je->jn", qp, k0) / math.sqrt(d)
         attn = jax.nn.softmax(scores, axis=0)
-        ctx = jnp.einsum("jtm,je->etm", attn, v0)
+        ctx = jnp.einsum("jn,je->en", attn, v0)
         return _ln0(ctx + text)
 
 
@@ -204,10 +207,13 @@ class COGEncoderLayer(nn.Module):
     window: int
     use_pallas: bool = True
 
+    m_tokens: int = 15
+
     @nn.compact
     def __call__(self, text, visual_seq, train: bool = False):
-        """text (d_model, T, M) FEATURE-MAJOR, visual_seq (T + window - 1,
-        d_model) with explicit left-pad rows -> (d_model, T, M).
+        """text (d_model, N) FEATURE-MAJOR with N = T*M, visual_seq
+        (T + window - 1, d_model) with explicit left-pad rows ->
+        (d_model, N).
 
         The caller prepends ``window - 1`` pad rows: the reference layer-norms
         the *windowed* visual tensor, so the zero-pad slots of early windows
@@ -215,22 +221,24 @@ class COGEncoderLayer(nn.Module):
         Passing a pre-padded sequence whose pad rows are norm(0)=β and
         shifting the query alignment reproduces that exactly.
 
-        The whole encoder stack stays feature-major (d on sublanes, the big
-        T*M token axis on lanes): the packed projection consumes (d, N)
-        directly and the kernel's (H, dv, N) context merges back to
-        (H*dv, N) = (d_model, N) with a FREE leading-dim reshape — the
-        (T, M, 64) <-> (15360, 8, 8) relayout copies around every layer
-        (~0.4 ms of the round-3 COG step profile) disappear.
+        The whole encoder stack stays feature-major AND strictly 2D (d on
+        sublanes, the big T*M token axis on lanes): the packed projection
+        consumes (d, N) directly and the kernel's (H, dv, N) context merges
+        back to (H*dv, N) = (d_model, N) with a FREE leading-dim reshape.
+        3D (d, T, M) intermediates would put M=15 on lanes (XLA lane-pads to
+        128) — their materialization/relayout copies were ~0.3 ms of the
+        round-3 step profile.
         """
-        _, T, M = text.shape
+        M = self.m_tokens
         q_in = _LayerNormD(self.d_model, name="norm1")(text)
 
         q = _PackedProj(self.d_q, self.n_heads, transposed=True,
-                        name="W_Q")(q_in.reshape(self.d_model, T * M))
+                        name="W_Q")(q_in)
         k = _PackedProj(self.d_q, self.n_heads, name="W_K")(visual_seq)
         v = _PackedProj(self.d_q, self.n_heads, name="W_V")(visual_seq)
 
-        pad = visual_seq.shape[0] - T  # window - 1
+        T = visual_seq.shape[0] - (self.window - 1)
+        pad = self.window - 1
         # Dummy queries for the pad positions (lane left-pad of the packed
         # token axis); their outputs are discarded.
         q = jnp.pad(q, ((0, 0), (0, 0), (pad * M, 0)))
@@ -238,8 +246,8 @@ class COGEncoderLayer(nn.Module):
         # ops/attention.py and CLAUDE.md round-2 perf notes.
         ctx = sliding_window_attention_packed(
             q, k, v, self.window, M, self.use_pallas)[:, :, pad * M:]
-        # (H, dv, N) -> (H*dv, T, M): leading-dim merge, no data movement
-        ctx = ctx.reshape(self.n_heads * self.d_q, T, M)
+        # (H, dv, N) -> (H*dv, N): leading-dim merge, no data movement
+        ctx = ctx.reshape(self.n_heads * self.d_q, T * M)
         out = _ln0(ctx + q_in)  # unlearned LN inside COG attention
 
         out = _LayerNormD(self.d_model, name="norm3")(out)
@@ -272,14 +280,16 @@ class ChainOfGestureTransformer(nn.Module):
         # the reference, so pad rows become norm(0) = β; prepend them here.
         visual = jnp.pad(visual, ((self.len_q - 1, 0), (0, 0)))
         visual = nn.LayerNorm(name="enc_norm")(visual)
-        # feature-major (d, T, M) through the whole encoder stack (see
-        # COGEncoderLayer): one transpose at the very end instead of
-        # relayout copies around every layer
-        text = jnp.broadcast_to(text0.T[:, None, :], (self.d_model, T, M))
+        # feature-major STRICTLY 2D (d, T*M) through the whole encoder stack
+        # (see COGEncoderLayer): one transpose at the very end instead of
+        # relayout copies around every layer. Token n = t*M + m, so the
+        # initial per-frame text queries tile the (d, M) prompt columns T
+        # times along lanes.
+        text = jnp.tile(text0.T, (1, T))
         for i in range(self.n_layers):
             text = COGEncoderLayer(
                 self.d_model, self.f_dim, self.d_q, self.n_heads,
-                self.len_q, self.use_pallas, name=f"layer{i}",
+                self.len_q, self.use_pallas, name=f"layer{i}", m_tokens=M,
             )(text, visual, train)
 
         # final single-head attention over the M original text tokens
@@ -287,7 +297,8 @@ class ChainOfGestureTransformer(nn.Module):
         # unlearned LN; the K/V are the SAME text0 rows for every frame, so
         # they project once — (M, d) — instead of per frame)
         out = _COGAttentionD(self.d_model, name="atten")(text, text0)
-        return out.transpose(1, 2, 0).reshape(T, M * self.d_model)
+        return out.reshape(self.d_model, T, M).transpose(1, 2, 0).reshape(
+            T, M * self.d_model)
 
 
 class COGStage(nn.Module):

@@ -74,6 +74,8 @@ def main():
     t0 = time.time()
     state = jax.block_until_ready(run(state, jnp.asarray(20)))
     print(f"compile+warm: {time.time() - t0:.1f}s", flush=True)
+    # the timer donates `state`'s buffers; copy the params out FIRST
+    params = jax.tree.map(jnp.copy, exp.params_tree(state.params)["model"])
     print(f"tsvn_train_step_ms T={T}: {timed(run, state):.3f}", flush=True)
 
     # ---- component breakdown (forward-only chains) ----
@@ -81,8 +83,6 @@ def main():
     from med_tpu.ops.attention import sliding_windows
 
     model = exp.model
-    # the main timer donated `state`'s buffers; copy the params out
-    params = jax.tree.map(jnp.copy, exp.params_tree(state.params)["model"])
     logits = jnp.asarray(rng.normal(size=(1, T, 2)), jnp.float32)
     feats = jnp.asarray(rng.normal(size=(1, T, cfg.in_features())), jnp.float32)
 
