@@ -158,8 +158,7 @@ class ExperimentConfig:
                                       # Measured SLOWER on v5e (COG step 4.5
                                       # vs 3.0 ms): the per-step unflatten
                                       # slice fan-out does not fuse into the
-                                      # forward, while optax.flatten's pack/
-                                      # unpack does. Kept as an option;
+                                      # forward. Kept as an option;
                                       # checkpoints always see trees
                                       # (Experiment.params_tree)
     fold_pad_quantum: int = 512       # whole-run fusion: pad each fold's

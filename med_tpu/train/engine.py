@@ -63,13 +63,10 @@ class Experiment:
         self.model = build_model(cfg, prompt_path=prompt_path)
         self.fe = build_feature_extractor(cfg)
         self.family = self._family()
-        # Frame families hold params as ONE flat vector: the one-trial-per-
-        # step regime is latency-bound on op count, and a ~150-leaf tree
-        # costs per-leaf Adam ops plus optax.flatten's per-step pack/unpack
-        # (~0.3 ms of a ~3 ms COG step). With flat params the unflatten is
-        # a fan-out of slices XLA fuses into the forward, the gradient
-        # arrives flat by construction (the slice VJP is one concat), and
-        # Adam + the update are single fused vector ops.
+        # Optional: frame families hold params as ONE flat vector. Measured
+        # SLOWER than the per-leaf tree on v5e (the unflatten slice fan-out
+        # does not fuse into the forward — see config.flat_params), so the
+        # default is the plain tree with per-leaf Adam states (optim.py).
         self._flat = (cfg.flat_params
                       and self.family in ("tecno", "tsvn", "cog"))
         self._unravel = None

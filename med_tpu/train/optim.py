@@ -30,17 +30,20 @@ def make_optimizer(cfg: ExperimentConfig,
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.inject_hyperparams(optax.scale)(step_size=-cfg.lr),
     )
-    # Frame-family models (~150 param leaves) run one trial per step, so the
-    # per-leaf Adam update is a latency-bound tail of ~450 tiny ops. With
-    # ``flat`` the engine itself stores params as ONE vector (engine.py), so
-    # the chain is naturally single-leaf; otherwise optax.flatten runs the
-    # chain over a per-step concatenated vector (identical math, but pays a
-    # pack/unpack round trip every step). The window family keeps per-leaf
-    # states because parallel/mesh.py assigns tensor-parallel placement by
-    # param-tree path, which the Adam moments mirror (a flat vector has no
-    # paths to match).
-    if not flat and cfg.model_name in ("TeCNo", "TransSVNet", "COG"):
-        tx = optax.flatten(tx)
+    # Optimizer state is PER-LEAF for every family. Round 2 wrapped the
+    # frame families in optax.flatten (at ~150 leaves the per-leaf Adam tail
+    # was ~450 tiny ops and measured slower); round 3's stacked param trees
+    # (TCN stacks as 4 leaves/stage, multistack-merged slow path) cut the
+    # COG tree to 93 leaves, and per-leaf now measures FASTER than the
+    # flatten round trip (2.37 vs 2.45 ms/step, T=1024 TPU v5e): each
+    # leaf ravel in the pack is a physical (8,128)-tile->1D relayout copy,
+    # ~340 us/step of concatenate/reshape/stack in the device profile.
+    # ``flat`` (engine-level single-vector params, cfg.flat_params) keeps
+    # the chain naturally single-leaf; it was also measured and rejected
+    # for the default path (see CLAUDE.md round-3 notes). The window-family
+    # TP placement (parallel/mesh.py) needs the mirrored param-dict paths in
+    # the Adam moments either way, which per-leaf states preserve.
+    del flat
     return tx
 
 
