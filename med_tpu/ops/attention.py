@@ -386,40 +386,55 @@ def _band_t(rows, cols, m, window):
     return (row >= frame) & (row < frame + window)
 
 
-def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, window, tile, m, kh):
+def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, window, tile,
+                           m, kh):
     """One grid cell = one query tile, ALL heads (static in-kernel loop).
 
     Head-per-cell was 8x more grid cells; at these sizes each cell's
     matmuls are microseconds, so the per-cell fixed cost dominated the
     kernel time (round-3 measurement) — folding the head loop inside the
-    cell amortizes it."""
+    cell amortizes it.
+
+    VPU economy (the banded (kh, n) matrices dominate the kernel, not the
+    MXU): q is pre-scaled by 1/sqrt(dk) — an (dk, n) pass instead of the
+    (kh, n) score divide — and the softmax normalizer multiplies the (dv, n)
+    OUTPUT rows rather than the (kh, n) probability matrix. Per-query
+    softmax stats (row 0 = max, row 1 = 1/sum) are emitted for the merged
+    backward, which then skips both banded reductions entirely."""
     i = pl.program_id(0)
     H, dk, _ = q_ref.shape
     n = tile * m
     in_band = _band_t(kh, n, m, window)
     neg = -jnp.finfo(jnp.float32).max
+    inv_sqrt = 1.0 / math.sqrt(dk)
     for h in range(H):
-        q = q_ref[h]                               # (dk, tile*m)
+        q = q_ref[h] * inv_sqrt                    # (dk, tile*m)
         kk = k_ref[h, :, pl.ds(i * tile, kh)]       # (dk, kh)
         vv = v_ref[h, :, pl.ds(i * tile, kh)]       # (dv, kh)
         scores = jax.lax.dot_general(
             kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / math.sqrt(dk)                          # (kh, tile*m)
+        )                                          # (kh, tile*m)
         smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
         p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-        attn = p / jnp.sum(p, axis=0, keepdims=True)
+        rsum = 1.0 / jnp.sum(p, axis=0, keepdims=True)
         out = jax.lax.dot_general(
-            vv, attn, dimension_numbers=(((1,), (0,)), ((), ())),
+            vv, p, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                          # (dv, tile*m)
+        ) * rsum                                   # (dv, tile*m)
         o_ref[h] = out.astype(o_ref.dtype)
+        s_ref[h] = jnp.concatenate([smax, rsum], axis=0).astype(s_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret",
+                                             "return_stats"))
 def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int = 128,
-              interpret: bool = False):
-    """q (H, dk, N) with N = T*M; k/v (H, d, T) -> out (H, dv, N)."""
+              interpret: bool = False, return_stats: bool = False):
+    """q (H, dk, N) with N = T*M; k/v (H, d, T) -> out (H, dv, N).
+
+    With ``return_stats`` also returns the per-query softmax stats
+    (H, 2, N) — row 0 the banded max, row 1 the reciprocal sum — consumed
+    by :func:`sliding_window_attention_packed_bwd`."""
     H, dk, N = q.shape
     dv = v.shape[1]
     T = N // m
@@ -432,65 +447,85 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
 
-    out = pl.pallas_call(
+    out, stats = pl.pallas_call(
         functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m,
                           kh=halo),
-        out_shape=jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
+            jax.ShapeDtypeStruct((H, 2, Tp * m), jnp.float32),
+        ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((H, dk, tile * m), lambda t: (0, 0, t)),
             pl.BlockSpec((H, dk, Tk), lambda t: (0, 0, 0)),
             pl.BlockSpec((H, dv, Tk), lambda t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((H, dv, tile * m), lambda t: (0, 0, t)),
+        out_specs=(
+            pl.BlockSpec((H, dv, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, 2, tile * m), lambda t: (0, 0, t)),
+        ),
         interpret=interpret,
     )(qh, kh, vh)
+    if return_stats:
+        return out[:, :, :N], stats[:, :, :N]
     return out[:, :, :N]
 
 
-def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
-                      dq_ref, dk_ref, dv_ref, *, window, tile, m, kh):
+def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
+                      k_ref, v_ref, dq_ref, dk_ref, dv_ref, *, window, tile,
+                      m, kh):
     """One grid cell = one key tile, ALL heads (see the forward kernel's
-    note: per-cell fixed cost dominated the head-per-cell variant)."""
+    note: per-cell fixed cost dominated the head-per-cell variant).
+
+    The kernel is VPU-bound on the banded (kh, qn) matrices, so it leans on
+    the forward's saved per-query stats (sa/sb: row 0 max, row 1 1/sum)
+    instead of recomputing the banded softmax reductions, folds the band and
+    extension-validity masks into ONE select on the probability matrix (``a``
+    being zero out of band makes the old ``da`` mask exactly redundant), and
+    scales q by 1/sqrt(dk) up front so both score and dk matmuls need no
+    banded rescale — only the tiny (dk, qn) dq rows are rescaled."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     H, dk_d, _ = qa_ref.shape
     n = tile * m
     ext = (window - 1) * m
     qn = n + ext
-    in_band = _band_t(kh, qn, m, window)
-    neg = -jnp.finfo(jnp.float32).max
-    # zero non-existent extension queries (clamped duplicate, last tile)
+    inv_sqrt = 1.0 / math.sqrt(dk_d)
+    # band mask & validity of extension queries (clamped duplicate, last
+    # tile) as one select
+    row = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 1)
-    valid = (i * tile + col // m) < n_tiles * tile
+    frame = col // m
+    mask = (row >= frame) & (row < frame + window) \
+        & ((i * tile + frame) < n_tiles * tile)
     for h in range(H):
-        q = jnp.concatenate([qa_ref[h], qb_ref[h][:, :ext]], axis=1)  # (dk, qn)
+        q = jnp.concatenate([qa_ref[h], qb_ref[h][:, :ext]],
+                            axis=1) * inv_sqrt                    # (dk, qn)
         g = jnp.concatenate([ga_ref[h], gb_ref[h][:, :ext]], axis=1)  # (dv, qn)
+        s = jnp.concatenate([sa_ref[h], sb_ref[h][:, :ext]], axis=1)  # (2, qn)
         kk = k_ref[h, :, pl.ds(i * tile, kh)]
         vv = v_ref[h, :, pl.ds(i * tile, kh)]
 
         scores = jax.lax.dot_general(
             kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / math.sqrt(dk_d)                        # (kh, qn)
-        smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
-        p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-        a = p / jnp.sum(p, axis=0, keepdims=True)  # (kh, qn)
-        a = jnp.where(valid, a, 0.0)
+        )                                          # (kh, qn)
+        a = jnp.where(mask, jnp.exp(scores - s[0:1]) * s[1:2], 0.0)
 
         da = jax.lax.dot_general(
             vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # (kh, qn)
-        da = jnp.where(in_band, da, 0.0)
-        ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True)) / math.sqrt(dk_d)
+        ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True))
 
         dq = jax.lax.dot_general(
             kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                          # (dk, qn)
+        ) * inv_sqrt                               # (dk, qn)
         dq_ref[h] = dq[:, :n].astype(dq_ref.dtype)
 
+        # scores = kk^T (q/sqrt) -> d(scores)/dk is the pre-scaled q, so
+        # contracting ds with the scaled q needs no further rescale
         dk_union = jax.lax.dot_general(
             ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -504,10 +539,11 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, k_ref, v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
-def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: int = 128,
-              interpret: bool = False):
-    """Merged backward in the transposed layout. Returns (dq (H,dk,N),
-    dk (H,Tp?,dk)->(H,T,dk), dv)."""
+def sliding_window_attention_packed_bwd(q, k, v, g, stats, window: int, m: int,
+              tile: int = 128, interpret: bool = False):
+    """Merged backward in the transposed layout. ``stats`` is the forward's
+    (H, 2, N) per-query softmax stats (``return_stats=True``). Returns
+    (dq (H,dk,N), dk (H,Tp?,dk)->(H,T,dk), dv)."""
     H, dk_d, N = q.shape
     dv_d = v.shape[1]
     T = N // m
@@ -518,6 +554,7 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
 
     qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     gh = jnp.pad(g, ((0, 0), (0, 0), (0, (Tp - T) * m)))
+    sh = jnp.pad(stats, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     last = n_tiles - 1
@@ -538,6 +575,9 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
             pl.BlockSpec((H, dv_d, tile * m), lambda t: (0, 0, t)),
             pl.BlockSpec((H, dv_d, tile * m),
                          lambda t: (0, 0, jnp.minimum(t + 1, last))),
+            pl.BlockSpec((H, 2, tile * m), lambda t: (0, 0, t)),
+            pl.BlockSpec((H, 2, tile * m),
+                         lambda t: (0, 0, jnp.minimum(t + 1, last))),
             pl.BlockSpec((H, dk_d, Tk), lambda t: (0, 0, 0)),
             pl.BlockSpec((H, dv_d, Tk), lambda t: (0, 0, 0)),
         ],
@@ -547,7 +587,7 @@ def sliding_window_attention_packed_bwd(q, k, v, g, window: int, m: int, tile: i
             pl.BlockSpec((H, tile, dv_d), lambda t: (0, t, 0)),
         ),
         interpret=interpret,
-    )(qh, qh, gh, gh, kh, vh)
+    )(qh, qh, gh, gh, sh, sh, kh, vh)
     return dq[:, :, :N], dk_out[:, :T], dv_out[:, :T]
 
 
@@ -562,7 +602,8 @@ def _packed_fwd_batched(window: int, m: int, interpret: bool):
     @jax.custom_batching.custom_vmap
     def f(q, k, v):
         return sliding_window_attention_packed_fwd(q, k, v, window, m,
-                                                   interpret=interpret)
+                                                   interpret=interpret,
+                                                   return_stats=True)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, q, k, v):  # noqa: ANN001
@@ -571,10 +612,11 @@ def _packed_fwd_batched(window: int, m: int, interpret: bool):
 
         q, k, v = (bc(x, b) for x, b in zip((q, k, v), in_batched))
         B, H = q.shape[:2]
-        out = f(q.reshape((B * H,) + q.shape[2:]),
-                k.reshape((B * H,) + k.shape[2:]),
-                v.reshape((B * H,) + v.shape[2:]))
-        return out.reshape((B, H) + out.shape[1:]), True
+        out, stats = f(q.reshape((B * H,) + q.shape[2:]),
+                       k.reshape((B * H,) + k.shape[2:]),
+                       v.reshape((B * H,) + v.shape[2:]))
+        return (out.reshape((B, H) + out.shape[1:]),
+                stats.reshape((B, H) + stats.shape[1:])), (True, True)
 
     return f
 
@@ -582,21 +624,23 @@ def _packed_fwd_batched(window: int, m: int, interpret: bool):
 @functools.lru_cache(maxsize=None)
 def _packed_bwd_batched(window: int, m: int, interpret: bool):
     @jax.custom_batching.custom_vmap
-    def f(q, k, v, g):
-        return sliding_window_attention_packed_bwd(q, k, v, g, window, m,
-                                                   interpret=interpret)
+    def f(q, k, v, g, stats):
+        return sliding_window_attention_packed_bwd(q, k, v, g, stats, window,
+                                                   m, interpret=interpret)
 
     @f.def_vmap
-    def _rule(axis_size, in_batched, q, k, v, g):  # noqa: ANN001
+    def _rule(axis_size, in_batched, q, k, v, g, stats):  # noqa: ANN001
         def bc(x, b):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        q, k, v, g = (bc(x, b) for x, b in zip((q, k, v, g), in_batched))
+        q, k, v, g, stats = (bc(x, b)
+                             for x, b in zip((q, k, v, g, stats), in_batched))
         B, H = q.shape[:2]
         outs = f(q.reshape((B * H,) + q.shape[2:]),
                  k.reshape((B * H,) + k.shape[2:]),
                  v.reshape((B * H,) + v.shape[2:]),
-                 g.reshape((B * H,) + g.shape[2:]))
+                 g.reshape((B * H,) + g.shape[2:]),
+                 stats.reshape((B * H,) + stats.shape[2:]))
         return (tuple(o.reshape((B, H) + o.shape[1:]) for o in outs),
                 (True, True, True))
 
@@ -606,16 +650,17 @@ def _packed_bwd_batched(window: int, m: int, interpret: bool):
 # Autodiff entry point for the packed layout.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _swa_packed_ad(q, k, v, window: int, m: int, interpret: bool):
-    return _packed_fwd_batched(window, m, interpret)(q, k, v)
+    return _packed_fwd_batched(window, m, interpret)(q, k, v)[0]
 
 
 def _swa_packed_fwd_rule(q, k, v, window, m, interpret):
-    return _swa_packed_ad(q, k, v, window, m, interpret), (q, k, v)
+    out, stats = _packed_fwd_batched(window, m, interpret)(q, k, v)
+    return out, (q, k, v, stats)
 
 
 def _swa_packed_bwd_rule(window, m, interpret, residuals, g):
-    q, k, v = residuals
-    dq, dk, dv = _packed_bwd_batched(window, m, interpret)(q, k, v, g)
+    q, k, v, stats = residuals
+    dq, dk, dv = _packed_bwd_batched(window, m, interpret)(q, k, v, g, stats)
     # dk/dv come back (H, T, d); the packed contract is (H, d, T)
     return dq, dk.transpose(0, 2, 1), dv.transpose(0, 2, 1)
 
