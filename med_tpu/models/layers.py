@@ -200,13 +200,29 @@ class ResidualStack(nn.Module):
     def dropout_mask(self, B: int, T: int):
         """The per-layer Bernoulli keep-mask this stack would draw in
         ``__call__`` (same rng path/count, so the merged multi-stage kernel
-        sees the identical stream). None when dropout is off."""
+        sees the identical stream). None when dropout is off.
+
+        At the (reference-default) rate 0.5 each element needs exactly ONE
+        random bit, so the mask is unpacked from 32x fewer threefry words:
+        per-element ``bernoulli`` was ~130 us/step of the COG train step at
+        T=1024 (threefry is ~10 VPU rounds per 32-bit word; the mask BYTES
+        are trivial), the bit-unpack is a handful of fused passes. Unpack
+        order runs along T (word t//32, bit t%32) — a different but equally
+        i.i.d. stream; fused/unfused consistency is structural because both
+        paths draw through this one method."""
         if self.dropout_rate <= 0.0:
             return None
-        return jax.random.bernoulli(
-            self.make_rng("dropout"), 1.0 - self.dropout_rate,
-            (self.num_layers, B, T, self.channels)
-        ).astype(jnp.uint8)
+        key = self.make_rng("dropout")
+        shape = (self.num_layers, B, T, self.channels)
+        if self.dropout_rate != 0.5:
+            return jax.random.bernoulli(
+                key, 1.0 - self.dropout_rate, shape).astype(jnp.uint8)
+        L, C = self.num_layers, self.channels
+        tw = (T + 31) // 32
+        words = jax.random.bits(key, (L, B, tw, 1, C), jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32).reshape(1, 1, 1, 32, 1)
+        bits = ((words >> shifts) & jnp.uint32(1)).astype(jnp.uint8)
+        return bits.reshape(L, B, tw * 32, C)[:, :, :T]
 
     def weights(self):
         return self.w3, self.b3, self.w1, self.b1

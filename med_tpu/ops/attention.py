@@ -399,8 +399,9 @@ def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, window, tile,
     MXU): q is pre-scaled by 1/sqrt(dk) — an (dk, n) pass instead of the
     (kh, n) score divide — and the softmax normalizer multiplies the (dv, n)
     OUTPUT rows rather than the (kh, n) probability matrix. Per-query
-    softmax stats (row 0 = max, row 1 = 1/sum) are emitted for the merged
-    backward, which then skips both banded reductions entirely."""
+    softmax stats (row 0 = logsumexp, row 1 = 1/sum) are emitted for the
+    merged backward, which then reconstructs probabilities as ONE
+    ``exp(scores - lse)`` with no banded reductions or normalizer pass."""
     i = pl.program_id(0)
     H, dk, _ = q_ref.shape
     n = tile * m
@@ -417,13 +418,15 @@ def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, window, tile,
         )                                          # (kh, tile*m)
         smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
         p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
-        rsum = 1.0 / jnp.sum(p, axis=0, keepdims=True)
+        psum = jnp.sum(p, axis=0, keepdims=True)
+        rsum = 1.0 / psum
         out = jax.lax.dot_general(
             vv, p, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * rsum                                   # (dv, tile*m)
         o_ref[h] = out.astype(o_ref.dtype)
-        s_ref[h] = jnp.concatenate([smax, rsum], axis=0).astype(s_ref.dtype)
+        lse = smax + jnp.log(psum)
+        s_ref[h] = jnp.concatenate([lse, rsum], axis=0).astype(s_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret",
@@ -433,8 +436,8 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     """q (H, dk, N) with N = T*M; k/v (H, d, T) -> out (H, dv, N).
 
     With ``return_stats`` also returns the per-query softmax stats
-    (H, 2, N) — row 0 the banded max, row 1 the reciprocal sum — consumed
-    by :func:`sliding_window_attention_packed_bwd`."""
+    (H, 2, N) — row 0 the banded logsumexp, row 1 the reciprocal sum —
+    consumed by :func:`sliding_window_attention_packed_bwd`."""
     H, dk, N = q.shape
     dv = v.shape[1]
     T = N // m
@@ -478,12 +481,15 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
     note: per-cell fixed cost dominated the head-per-cell variant).
 
     The kernel is VPU-bound on the banded (kh, qn) matrices, so it leans on
-    the forward's saved per-query stats (sa/sb: row 0 max, row 1 1/sum)
-    instead of recomputing the banded softmax reductions, folds the band and
-    extension-validity masks into ONE select on the probability matrix (``a``
-    being zero out of band makes the old ``da`` mask exactly redundant), and
-    scales q by 1/sqrt(dk) up front so both score and dk matmuls need no
-    banded rescale — only the tiny (dk, qn) dq rows are rescaled."""
+    per-query stats (sa/sb: row 0 the forward's logsumexp, row 1 the
+    host-side delta = out.g — the flash-attention identity
+    sum_j a_jn da_jn = out_n.g_n) instead of recomputing any banded
+    reduction: probabilities are ONE exp(scores - lse) (normalizer folded
+    into the exponent), ds = a*(da - delta) with no (kh, qn) mul+rowsum,
+    band and extension-validity fold into ONE select (``a`` being zero out
+    of band makes a da-mask exactly redundant), and q is pre-scaled by
+    1/sqrt(dk) so the score and dk matmuls need no banded rescale — only
+    the tiny (dk, qn) dq rows are rescaled."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     H, dk_d, _ = qa_ref.shape
@@ -510,13 +516,13 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
             kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # (kh, qn)
-        a = jnp.where(mask, jnp.exp(scores - s[0:1]) * s[1:2], 0.0)
+        a = jnp.where(mask, jnp.exp(scores - s[0:1]), 0.0)
 
         da = jax.lax.dot_general(
             vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # (kh, qn)
-        ds = a * (da - jnp.sum(da * a, axis=0, keepdims=True))
+        ds = a * (da - s[1:2])
 
         dq = jax.lax.dot_general(
             kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -539,11 +545,14 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
-def sliding_window_attention_packed_bwd(q, k, v, g, stats, window: int, m: int,
-              tile: int = 128, interpret: bool = False):
-    """Merged backward in the transposed layout. ``stats`` is the forward's
-    (H, 2, N) per-query softmax stats (``return_stats=True``). Returns
-    (dq (H,dk,N), dk (H,Tp?,dk)->(H,T,dk), dv)."""
+def sliding_window_attention_packed_bwd(q, k, v, g, out, stats, window: int,
+              m: int, tile: int = 128, interpret: bool = False):
+    """Merged backward in the transposed layout. ``out``/``stats`` are the
+    forward's output and (H, 2, N) per-query softmax stats
+    (``return_stats=True``); the softmax-VJP row sums are reconstructed via
+    the flash-attention identity delta_n = out_n . g_n, so the kernel does
+    no banded reduction at all. Returns (dq (H,dk,N),
+    dk (H,Tp?,dk)->(H,T,dk), dv)."""
     H, dk_d, N = q.shape
     dv_d = v.shape[1]
     T = N // m
@@ -552,9 +561,12 @@ def sliding_window_attention_packed_bwd(q, k, v, g, stats, window: int, m: int,
     halo = _key_halo(tile, window)
     Tk = Tp + halo
 
+    delta = jnp.einsum("hdn,hdn->hn", out, g)
+    sd = jnp.stack([stats[:, 0], delta], axis=1)   # (H, 2, N): lse, delta
+
     qh = jnp.pad(q, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     gh = jnp.pad(g, ((0, 0), (0, 0), (0, (Tp - T) * m)))
-    sh = jnp.pad(stats, ((0, 0), (0, 0), (0, (Tp - T) * m)))
+    sh = jnp.pad(sd, ((0, 0), (0, 0), (0, (Tp - T) * m)))
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     last = n_tiles - 1
@@ -624,22 +636,24 @@ def _packed_fwd_batched(window: int, m: int, interpret: bool):
 @functools.lru_cache(maxsize=None)
 def _packed_bwd_batched(window: int, m: int, interpret: bool):
     @jax.custom_batching.custom_vmap
-    def f(q, k, v, g, stats):
-        return sliding_window_attention_packed_bwd(q, k, v, g, stats, window,
-                                                   m, interpret=interpret)
+    def f(q, k, v, g, out, stats):
+        return sliding_window_attention_packed_bwd(q, k, v, g, out, stats,
+                                                   window, m,
+                                                   interpret=interpret)
 
     @f.def_vmap
-    def _rule(axis_size, in_batched, q, k, v, g, stats):  # noqa: ANN001
+    def _rule(axis_size, in_batched, q, k, v, g, out, stats):  # noqa: ANN001
         def bc(x, b):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        q, k, v, g, stats = (bc(x, b)
-                             for x, b in zip((q, k, v, g, stats), in_batched))
+        q, k, v, g, out, stats = (
+            bc(x, b) for x, b in zip((q, k, v, g, out, stats), in_batched))
         B, H = q.shape[:2]
         outs = f(q.reshape((B * H,) + q.shape[2:]),
                  k.reshape((B * H,) + k.shape[2:]),
                  v.reshape((B * H,) + v.shape[2:]),
                  g.reshape((B * H,) + g.shape[2:]),
+                 out.reshape((B * H,) + out.shape[2:]),
                  stats.reshape((B * H,) + stats.shape[2:]))
         return (tuple(o.reshape((B, H) + o.shape[1:]) for o in outs),
                 (True, True, True))
@@ -655,12 +669,13 @@ def _swa_packed_ad(q, k, v, window: int, m: int, interpret: bool):
 
 def _swa_packed_fwd_rule(q, k, v, window, m, interpret):
     out, stats = _packed_fwd_batched(window, m, interpret)(q, k, v)
-    return out, (q, k, v, stats)
+    return out, (q, k, v, out, stats)
 
 
 def _swa_packed_bwd_rule(window, m, interpret, residuals, g):
-    q, k, v, stats = residuals
-    dq, dk, dv = _packed_bwd_batched(window, m, interpret)(q, k, v, g, stats)
+    q, k, v, out, stats = residuals
+    dq, dk, dv = _packed_bwd_batched(window, m, interpret)(q, k, v, g, out,
+                                                           stats)
     # dk/dv come back (H, T, d); the packed contract is (H, d, T)
     return dq, dk.transpose(0, 2, 1), dv.transpose(0, 2, 1)
 

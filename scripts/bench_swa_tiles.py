@@ -71,16 +71,16 @@ def main():
 
         bwd = functools.partial(
             sliding_window_attention_packed_bwd, window=W, m=M, tile=tile)
-        # stats held fixed across iterations (timing only: the kernel's cost
-        # doesn't depend on their values, and recomputing them per iteration
-        # would fold a forward into the bwd-only number)
-        _, stats = sliding_window_attention_packed_fwd(
+        # out/stats held fixed across iterations (timing only: the kernel's
+        # cost doesn't depend on their values, and recomputing them per
+        # iteration would fold a forward into the bwd-only number)
+        o, stats = sliding_window_attention_packed_fwd(
             q, k, v, W, M, tile=tile, return_stats=True)
 
         @jax.jit
-        def brun(c, n, bwd=bwd, stats=stats):
+        def brun(c, n, bwd=bwd, o=o, stats=stats):
             def body(i, c):
-                dq, dkk, dvv = bwd(c, k, v, g, stats)
+                dq, dkk, dvv = bwd(c, k, v, g, o, stats)
                 return c + dq * 1e-9
             return jax.lax.fori_loop(0, n, body, c)
 
