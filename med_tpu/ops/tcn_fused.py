@@ -18,11 +18,14 @@ This module collapses one whole stage into ONE Pallas kernel per direction:
   zeros; each dilated tap is a dynamic-start row slice of that buffer feeding
   a (T, C)x(C, C) MXU matmul. Dilations are the MS-TCN 2^i schedule, derived
   in-kernel from the grid index (no SMEM tables).
-- backward: a second ``grid=(L,)`` kernel walking layers in reverse. It
-  re-materializes relu(dconv(h_l)) from the saved per-layer inputs (cheaper
-  than saving activations: keeps the double-buffered VMEM footprint at
-  T=6144 under budget), accumulates per-layer dW3/db3/dW1/db1 into their
-  output blocks, and carries dh in scratch.
+- backward: a second ``grid=(L,)`` kernel walking layers in reverse. The
+  saving forward emits BOTH per-layer inputs h and post-relu activations y
+  as residual blocks: re-materializing y in the backward cost 3 HIGHEST
+  matmuls per layer (~25% of the backward's MXU work at T=1024) against an
+  (L, T, C) HBM write+read — and the y block replaces the recompute's VMEM
+  accumulator, so the per-cell footprint is unchanged. The kernel
+  accumulates per-layer dW3/db3/dW1/db1 into their output blocks and
+  carries dh in scratch.
 - dropout: masks are Bernoulli(keep=0.5) uint8 planes precomputed by the
   caller (one fused XLA rng op) and passed as an input, so the same mask is
   seen by forward and backward by construction and the kernel stays
@@ -70,8 +73,11 @@ def _shifts(d, causal: bool):
 def _fwd_kernel(*refs, causal: bool, pad: int, use_mask: bool, save: bool):
     """One grid step = one dilated residual layer.
 
-    refs: x, w3, b3, w1, b1 [, mask], h_out [, h_saved], hp_scratch.
+    refs: x, w3, b3, w1, b1 [, mask], h_out [, h_saved, y_saved], hp_scratch.
     hp scratch rows: [0, pad) zeros | [pad, pad+T) h | [pad+T, pad+2T?) zeros.
+    ``save`` also emits the post-relu activations y: the backward consumes
+    them directly instead of re-materializing relu(dconv(h)) — 3 HIGHEST
+    matmuls per layer traded for one (L, T, C) residual write+read.
     """
     if use_mask:
         x_ref, w3_ref, b3_ref, w1_ref, b1_ref, mask_ref = refs[:6]
@@ -80,7 +86,7 @@ def _fwd_kernel(*refs, causal: bool, pad: int, use_mask: bool, save: bool):
         x_ref, w3_ref, b3_ref, w1_ref, b1_ref = refs[:5]
         outs = refs[5:-1]
     if save:
-        h_out_ref, h_saved_ref = outs
+        h_out_ref, h_saved_ref, y_saved_ref = outs
     else:
         (h_out_ref,) = outs
     hp_ref = refs[-1]
@@ -108,6 +114,8 @@ def _fwd_kernel(*refs, causal: bool, pad: int, use_mask: bool, save: bool):
             precision=jax.lax.Precision.HIGHEST,
         )
     y = jnp.maximum(acc, 0.0)
+    if save:
+        y_saved_ref[0] = y
     z = jax.lax.dot_general(
         y, w1_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -143,8 +151,8 @@ def _fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, save: bool,
     out_shape = [jax.ShapeDtypeStruct((T, C), jnp.float32)]
     out_specs = [pl.BlockSpec((T, C), lambda i: (0, 0))]
     if save:
-        out_shape.append(jax.ShapeDtypeStruct((L, T, C), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+        out_shape += [jax.ShapeDtypeStruct((L, T, C), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0))] * 2
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal, pad=pad,
@@ -167,14 +175,16 @@ def _fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, save: bool,
 def _bwd_kernel(*refs, causal: bool, pad: int, L: int, use_mask: bool):
     """Grid step i processes layer l = L-1-i.
 
-    refs: g, h_saved, w3, b3, w1 [, mask],
+    refs: g, h_saved, y_saved, w3, w1 [, mask],
           dx, dw3, db3, dw1, db1, dh_scr, hp_scr, ap_scr.
+    y (the post-relu activations) rides in from the forward's residuals —
+    re-materializing it here cost 3 HIGHEST matmuls per layer (and b3).
     """
     if use_mask:
-        g_ref, h_ref, w3_ref, b3_ref, w1_ref, mask_ref = refs[:6]
+        g_ref, h_ref, y_ref, w3_ref, w1_ref, mask_ref = refs[:6]
         rest = refs[6:]
     else:
-        g_ref, h_ref, w3_ref, b3_ref, w1_ref = refs[:5]
+        g_ref, h_ref, y_ref, w3_ref, w1_ref = refs[:5]
         rest = refs[5:]
     dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dh_scr, hp_scr, ap_scr = rest
 
@@ -197,17 +207,7 @@ def _bwd_kernel(*refs, causal: bool, pad: int, L: int, use_mask: bool):
     hp_scr[pl.ds(pad, T)] = h
 
     shifts = _shifts(d, causal)
-
-    # recompute y = relu(dconv(h) + b3)
-    acc = b3_ref[0]
-    for j, s in enumerate(shifts):
-        acc = acc + jax.lax.dot_general(
-            hp_scr[pl.ds(pad - s, T)], w3_ref[0, j],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    y = jnp.maximum(acc, 0.0)
+    y = y_ref[0]
 
     dz = (
         dh_out * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
@@ -249,7 +249,8 @@ def _bwd_kernel(*refs, causal: bool, pad: int, L: int, use_mask: bool):
     dx_ref[:] = dhc
 
 
-def _bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, interpret: bool):
+def _bwd_call(g, h_saved, y_saved, w3, w1, mask, *, causal: bool,
+              interpret: bool):
     L, _, C, _ = w3.shape
     T = g.shape[0]
     pad = 2 ** L
@@ -257,12 +258,12 @@ def _bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, interpret: bool):
     rev = lambda i: (L - 1 - i, 0, 0)  # noqa: E731
     rev4 = lambda i: (L - 1 - i, 0, 0, 0)  # noqa: E731
 
-    in_arrays = [g, h_saved, w3, b3.reshape(L, 1, C), w1]
+    in_arrays = [g, h_saved, y_saved, w3, w1]
     in_specs = [
         pl.BlockSpec((T, C), lambda i: (0, 0)),
         pl.BlockSpec((1, T, C), rev),
+        pl.BlockSpec((1, T, C), rev),
         pl.BlockSpec((1, 3, C, C), rev4),
-        pl.BlockSpec((1, 1, C), rev),
         pl.BlockSpec((1, C, C), rev),
     ]
     if mask is not None:
@@ -312,14 +313,15 @@ def _fused_train(causal, interpret, x, w3, b3, w1, b1, mask):
 
 
 def _fused_train_fwd(causal, interpret, x, w3, b3, w1, b1, mask):
-    h_out, h_saved = _fwd_call(x, w3, b3, w1, b1, mask, causal=causal,
-                               save=True, interpret=interpret)
-    return h_out, (h_saved, w3, b3, w1, mask)
+    h_out, h_saved, y_saved = _fwd_call(x, w3, b3, w1, b1, mask,
+                                        causal=causal, save=True,
+                                        interpret=interpret)
+    return h_out, (h_saved, y_saved, w3, w1, mask)
 
 
 def _fused_train_bwd(causal, interpret, res, g):
-    h_saved, w3, b3, w1, mask = res
-    dx, dw3, db3, dw1, db1 = _bwd_call(g, h_saved, w3, b3, w1, mask,
+    h_saved, y_saved, w3, w1, mask = res
+    dx, dw3, db3, dw1, db1 = _bwd_call(g, h_saved, y_saved, w3, w1, mask,
                                        causal=causal, interpret=interpret)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dx, dw3, db3, dw1, db1, dmask
@@ -335,14 +337,15 @@ def _fused_eval(causal, interpret, x, w3, b3, w1, b1):
 
 
 def _fused_eval_fwd(causal, interpret, x, w3, b3, w1, b1):
-    h_out, h_saved = _fwd_call(x, w3, b3, w1, b1, None, causal=causal,
-                               save=True, interpret=interpret)
-    return h_out, (h_saved, w3, b3, w1)
+    h_out, h_saved, y_saved = _fwd_call(x, w3, b3, w1, b1, None,
+                                        causal=causal, save=True,
+                                        interpret=interpret)
+    return h_out, (h_saved, y_saved, w3, w1)
 
 
 def _fused_eval_bwd(causal, interpret, res, g):
-    h_saved, w3, b3, w1 = res
-    return _bwd_call(g, h_saved, w3, b3, w1, None, causal=causal,
+    h_saved, y_saved, w3, w1 = res
+    return _bwd_call(g, h_saved, y_saved, w3, w1, None, causal=causal,
                      interpret=interpret)
 
 
@@ -400,7 +403,7 @@ def _multi_fwd_kernel(*refs, causal: bool, pad: int, L0: int, Lr: int,
         x_ref, w3_ref, b3_ref, w1_ref, b1_ref = refs[:5]
         outs = refs[5:-1]
     if save:
-        hs_ref, h_saved_ref = outs
+        hs_ref, h_saved_ref, y_saved_ref = outs
     else:
         (hs_ref,) = outs
     hp_ref = refs[-1]
@@ -428,6 +431,8 @@ def _multi_fwd_kernel(*refs, causal: bool, pad: int, L0: int, Lr: int,
             precision=jax.lax.Precision.HIGHEST,
         )
     y = jnp.maximum(acc, 0.0)
+    if save:
+        y_saved_ref[0] = y
     z = jax.lax.dot_general(
         y, w1_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -466,8 +471,8 @@ def _multi_fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, L0: int,
     out_shape = [jax.ShapeDtypeStruct((S, T, C), jnp.float32)]
     out_specs = [pl.BlockSpec((1, T, C), stage_map)]
     if save:
-        out_shape.append(jax.ShapeDtypeStruct((Lt, T, C), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)))
+        out_shape += [jax.ShapeDtypeStruct((Lt, T, C), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0))] * 2
 
     out = pl.pallas_call(
         functools.partial(_multi_fwd_kernel, causal=causal, pad=pad, L0=L0,
@@ -485,12 +490,13 @@ def _multi_fwd_call(x, w3, b3, w1, b1, mask, *, causal: bool, L0: int,
 def _multi_bwd_kernel(*refs, causal: bool, pad: int, Lt: int, L0: int,
                       Lr: int, use_mask: bool):
     """Grid step i processes layer l = Lt-1-i; the stage-output cotangent
-    g[stage(l)] joins dh when l is its stage's LAST layer."""
+    g[stage(l)] joins dh when l is its stage's LAST layer. y rides in from
+    the forward's residuals (see _bwd_kernel)."""
     if use_mask:
-        g_ref, h_ref, w3_ref, b3_ref, w1_ref, mask_ref = refs[:6]
+        g_ref, h_ref, y_ref, w3_ref, w1_ref, mask_ref = refs[:6]
         rest = refs[6:]
     else:
-        g_ref, h_ref, w3_ref, b3_ref, w1_ref = refs[:5]
+        g_ref, h_ref, y_ref, w3_ref, w1_ref = refs[:5]
         rest = refs[5:]
     dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dh_scr, hp_scr, ap_scr = rest
 
@@ -518,15 +524,7 @@ def _multi_bwd_kernel(*refs, causal: bool, pad: int, Lt: int, L0: int,
     hp_scr[pl.ds(pad, T)] = h
 
     shifts = _shifts(d, causal)
-    acc = b3_ref[0]
-    for j, s in enumerate(shifts):
-        acc = acc + jax.lax.dot_general(
-            hp_scr[pl.ds(pad - s, T)], w3_ref[0, j],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    y = jnp.maximum(acc, 0.0)
+    y = y_ref[0]
 
     dz = (
         dh_out * (mask_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0)
@@ -565,8 +563,8 @@ def _multi_bwd_kernel(*refs, causal: bool, pad: int, Lt: int, L0: int,
     dx_ref[:] = dhc
 
 
-def _multi_bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, L0: int,
-                    Lr: int, interpret: bool):
+def _multi_bwd_call(g, h_saved, y_saved, w3, w1, mask, *, causal: bool,
+                    L0: int, Lr: int, interpret: bool):
     Lt = w3.shape[0]
     C = w3.shape[2]
     T = g.shape[1]
@@ -576,12 +574,12 @@ def _multi_bwd_call(g, h_saved, w3, b3, w1, mask, *, causal: bool, L0: int,
     rev4 = lambda i: (Lt - 1 - i, 0, 0, 0)  # noqa: E731
     g_map = lambda i: (_stage_of(Lt - 1 - i, L0, Lr), 0, 0)  # noqa: E731
 
-    in_arrays = [g, h_saved, w3, b3.reshape(Lt, 1, C), w1]
+    in_arrays = [g, h_saved, y_saved, w3, w1]
     in_specs = [
         pl.BlockSpec((1, T, C), g_map),
         pl.BlockSpec((1, T, C), rev),
+        pl.BlockSpec((1, T, C), rev),
         pl.BlockSpec((1, 3, C, C), rev4),
-        pl.BlockSpec((1, 1, C), rev),
         pl.BlockSpec((1, C, C), rev),
     ]
     if mask is not None:
@@ -626,16 +624,16 @@ def _fused_multi_train(causal, interpret, L0, Lr, x, w3, b3, w1, b1, mask):
 
 
 def _fused_multi_train_fwd(causal, interpret, L0, Lr, x, w3, b3, w1, b1, mask):
-    hs, h_saved = _multi_fwd_call(x, w3, b3, w1, b1, mask, causal=causal,
-                                  L0=L0, Lr=Lr, save=True,
-                                  interpret=interpret)
-    return hs, (h_saved, w3, b3, w1, mask)
+    hs, h_saved, y_saved = _multi_fwd_call(x, w3, b3, w1, b1, mask,
+                                           causal=causal, L0=L0, Lr=Lr,
+                                           save=True, interpret=interpret)
+    return hs, (h_saved, y_saved, w3, w1, mask)
 
 
 def _fused_multi_train_bwd(causal, interpret, L0, Lr, res, g):
-    h_saved, w3, b3, w1, mask = res
+    h_saved, y_saved, w3, w1, mask = res
     dx, dw3, db3, dw1, db1 = _multi_bwd_call(
-        g, h_saved, w3, b3, w1, mask, causal=causal, L0=L0, Lr=Lr,
+        g, h_saved, y_saved, w3, w1, mask, causal=causal, L0=L0, Lr=Lr,
         interpret=interpret)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dx, dw3, db3, dw1, db1, dmask
@@ -651,15 +649,15 @@ def _fused_multi_eval(causal, interpret, L0, Lr, x, w3, b3, w1, b1):
 
 
 def _fused_multi_eval_fwd(causal, interpret, L0, Lr, x, w3, b3, w1, b1):
-    hs, h_saved = _multi_fwd_call(x, w3, b3, w1, b1, None, causal=causal,
-                                  L0=L0, Lr=Lr, save=True,
-                                  interpret=interpret)
-    return hs, (h_saved, w3, b3, w1)
+    hs, h_saved, y_saved = _multi_fwd_call(x, w3, b3, w1, b1, None,
+                                           causal=causal, L0=L0, Lr=Lr,
+                                           save=True, interpret=interpret)
+    return hs, (h_saved, y_saved, w3, w1)
 
 
 def _fused_multi_eval_bwd(causal, interpret, L0, Lr, res, g):
-    h_saved, w3, b3, w1 = res
-    return _multi_bwd_call(g, h_saved, w3, b3, w1, None, causal=causal,
+    h_saved, y_saved, w3, w1 = res
+    return _multi_bwd_call(g, h_saved, y_saved, w3, w1, None, causal=causal,
                            L0=L0, Lr=Lr, interpret=interpret)
 
 
