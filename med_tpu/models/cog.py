@@ -466,6 +466,14 @@ class COG(nn.Module):
 
         use_fused = (self.fused is True) or (
             self.fused == "auto" and jax.default_backend() == "tpu")
+        if use_fused and self.fused != True:  # noqa: E712
+            # long trials: exact XLA per-stage fallback past the fused
+            # kernels' measured scoped-VMEM T boundary (see tcn_fused)
+            from ..ops.tcn_fused import fused_stack_fits
+
+            use_fused = fused_stack_fits(
+                xx.shape[1],
+                2 ** max(self.num_layers_basic, self.num_layers_r), train)
         if use_fused and self.dtype is None and self.num_r > 0:
             # MERGED slow path: the R stages take features directly (no ops
             # between stages, models_COG.py:482-524), so all stages run in

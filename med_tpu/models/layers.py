@@ -238,6 +238,13 @@ class ResidualStack(nn.Module):
         )
         # the kernel hardcodes the 1/keep = 2.0 dropout scale + fp32 compute
         use_fused = use_fused and (rate in (0.0, 0.5)) and self.dtype is None
+        if use_fused and B == 1 and self.fused != True:  # noqa: E712
+            # long trials fall back to the exact XLA loop: the fused
+            # kernel's whole-sequence VMEM body has a measured T boundary
+            # (forcing fused=True skips the gate — interpret-mode tests)
+            from ..ops.tcn_fused import fused_stack_fits
+
+            use_fused = fused_stack_fits(T, 2 ** L, mask is not None)
         if use_fused and B == 1:
             from ..ops.tcn_fused import dilated_residual_stack
 

@@ -54,6 +54,24 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
+def fused_stack_fits(T: int, pad: int, train: bool) -> bool:
+    """Whether the fused stack kernels fit the TPU's 16M scoped-VMEM budget
+    at sequence length ``T`` (``pad`` = 2**max layer count). Callers fall
+    back to the exact XLA layer loop beyond the boundary instead of dying
+    in Mosaic's allocator.
+
+    Point-fit to measured scoped allocations on v5e (the whole-sequence
+    body is the design: one grid cell = one layer, activation carried in
+    VMEM, so VMEM scales with T): train bwd 27.10M @ (T=4096, pad=256),
+    16.79M @ (T=2048, pad=2048), 18.11M @ multistack (T=2048, pad=2048),
+    OK @ (T=2048, pad=256) and multistack (T=1536, pad=2048); eval fwd
+    20.99M @ (T=6144, pad=256), OK @ (T=4096, pad=256). Rows are physical
+    128-lane f32 rows (C=64 lane-pads 2x) = 512 B."""
+    a = 11.5 if train else 5.2
+    est = 512.0 * (a * T + 1.7 * (T + 2 * pad))
+    return est <= 15.5e6
+
+
 def _shifts(d, causal: bool):
     """Per-tap input delays: out[t] = sum_j x[t - s_j] @ W_j.
 

@@ -218,3 +218,23 @@ def test_tecno_fused_matches_module_path(rng):
     np.testing.assert_allclose(
         fused.apply(v, x, False), plain.apply(v, x, False),
         rtol=1e-6, atol=1e-6)
+
+
+def test_fused_gate_pins_measured_vmem_boundaries():
+    """fused_stack_fits reproduces the scoped-VMEM compile boundaries
+    measured on v5e (each False point was an actual Mosaic allocator OOM,
+    each True point a successful compile — see the function docstring).
+    Beyond the boundary the models fall back to the exact XLA layer loop
+    instead of failing to compile."""
+    from med_tpu.ops.tcn_fused import fused_stack_fits
+
+    # COG multistack (pad = 2**11): the T=1024 bench regime stays fused
+    assert fused_stack_fits(1024, 2 ** 11, train=True)
+    assert fused_stack_fits(1536, 2 ** 11, train=True)   # measured OK
+    assert not fused_stack_fits(2048, 2 ** 11, train=True)  # measured OOM
+    # TeCNo single stack (L=8)
+    assert fused_stack_fits(2048, 2 ** 8, train=True)    # measured OK
+    assert not fused_stack_fits(4096, 2 ** 8, train=True)  # measured OOM
+    # frozen/eval path (save-free primal)
+    assert fused_stack_fits(4096, 2 ** 8, train=False)   # measured OK
+    assert not fused_stack_fits(6144, 2 ** 8, train=False)  # measured OOM
