@@ -268,6 +268,40 @@ def main():
         cog_train_flops = _loop_flops(make_cog_train_run,
                                       exp_cog.init_state(jax.random.key(3), fbatch))
 
+    # ---- TransSVNet train step (frozen TeCNo -> transformer refiner,
+    #      T=1024; the collapsed class-width-bottleneck MHA) ----
+    t_tsvn = -1.0
+    if _budget_left():
+        import functools
+
+        cfg_tsvn = ExperimentConfig(
+            model_name="TransSVNet", dataset_type="frame",
+            data_type="multimodal", out_features=2, batch_size=1,
+        )
+        exp_tsvn = Experiment(cfg_tsvn)
+        tp = jax.jit(lambda r, x: exp_tsvn.frozen_tecno.init(
+            r, x, train=False))(
+            {"params": jax.random.key(5)},
+            jnp.zeros((1, 256, cfg_tsvn.in_features())))["params"]
+        tbatch = dict(fbatch)
+        tbatch["labels"] = jnp.zeros(T, jnp.int32)
+        # init-time model-input probe (engine._model_inputs)
+        tbatch["tecno_logits"] = jnp.zeros((1, T, 2), jnp.float32)
+        tsvn_state = jax.jit(functools.partial(
+            exp_tsvn.init_state, frozen={"tecno_params": tp}))(
+            jax.random.key(4), tbatch)
+        tsvn_step = exp_tsvn._make_step(train=True)
+
+        def make_tsvn_run():
+            @jax.jit
+            def run(s, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda i, c: tsvn_step(c, tbatch)[0], s)
+
+            return run
+
+        t_tsvn = _timed_loop(make_tsvn_run, tsvn_state)
+
     # ---- end-to-end pixels -> fused preprocess -> ResNet-50 -> features
     #      -> FeatureExtractor -> window head (the BASELINE.json pipeline) ----
     from med_tpu.data.preprocessing import jax_preprocess_frames
@@ -330,6 +364,7 @@ def main():
             "cog_ms_per_frame": round(t_cog / T * 1e3, 6),
             "ref_cog_ms_per_frame": 1.95,
             "cog_train_step_ms": round(t_cog_train * 1e3, 3),
+            "tsvn_train_step_ms": round(t_tsvn * 1e3, 3),
             "cog_train_frames_per_sec": round(T / t_cog_train, 1) if t_cog_train > 0 else -1.0,
             "cog_train_mfu": round(_mfu(cog_train_flops, t_cog_train), 4),
             "e2e_pixels_resnet_head_frames_per_sec": round(e2e_frames_per_sec, 1),
