@@ -238,3 +238,40 @@ def test_fused_gate_pins_measured_vmem_boundaries():
     # frozen/eval path (save-free primal)
     assert fused_stack_fits(4096, 2 ** 8, train=False)   # measured OK
     assert not fused_stack_fits(6144, 2 ** 8, train=False)  # measured OOM
+
+
+def test_bitpacked_dropout_mask_statistics(rng):
+    """The rate-0.5 dropout mask is unpacked from threefry BITS (one per
+    element, 32x fewer words than per-element bernoulli — see
+    layers.ResidualStack.dropout_mask): values are {0,1}, the keep rate is
+    0.5 within binomial noise, different rng keys give different masks, and
+    odd T (non-multiple of the 32-bit word width) keeps exact shape."""
+    import flax.linen as nn
+
+    from med_tpu.models.layers import ResidualStack
+
+    class Draw(nn.Module):
+        T: int
+
+        @nn.compact
+        def __call__(self):
+            stack = ResidualStack(num_layers=8, channels=64, fused=False)
+            return stack.dropout_mask(1, self.T)
+
+    def draw(T, key):
+        out, _ = Draw(T).init_with_output(
+            {"params": jax.random.PRNGKey(9),
+             "dropout": jax.random.PRNGKey(key)})
+        return np.asarray(out)
+
+    for T, key in ((1024, 0), (1024, 1), (333, 2)):
+        m = draw(T, key)
+        assert m.shape == (8, 1, T, 64) and m.dtype == np.uint8
+        assert set(np.unique(m)) <= {0, 1}
+        n = m.size
+        # binomial(n, .5): mean within 6 sigma
+        assert abs(m.mean() - 0.5) < 6 * 0.5 / np.sqrt(n)
+        # per-layer independence sanity: layers differ
+        assert not np.array_equal(m[0], m[1])
+
+    assert not np.array_equal(draw(256, 3), draw(256, 4))
