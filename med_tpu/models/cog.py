@@ -297,8 +297,12 @@ class ChainOfGestureTransformer(nn.Module):
         # unlearned LN; the K/V are the SAME text0 rows for every frame, so
         # they project once — (M, d) — instead of per frame)
         out = _COGAttentionD(self.d_model, name="atten")(text, text0)
-        return out.reshape(self.d_model, T, M).transpose(1, 2, 0).reshape(
-            T, M * self.d_model)
+        # (d, N) -> (T, M*d): element (t, m*d+e) = out[e, t*M+m]. Expressed
+        # as ONE 2D transpose + free row-major reshape — the equivalent
+        # reshape(d,T,M).transpose(1,2,0) chain materialized 3D (d,T,M)
+        # intermediates whose M=15 lane padding cost ~75 us/step of relayout
+        # copies in the device profile (fwd + its VJP mirror).
+        return out.T.reshape(T, M * self.d_model)
 
 
 class COGStage(nn.Module):

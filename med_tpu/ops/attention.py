@@ -416,8 +416,12 @@ def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, window, tile,
             kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # (kh, tile*m)
-        smax = jnp.max(jnp.where(in_band, scores, neg), axis=0, keepdims=True)
-        p = jnp.where(in_band, jnp.exp(scores - smax), 0.0)
+        # ONE band select: reusing the masked matrix for the exp makes the
+        # out-of-band entries exp(-f32max - smax) = 0 exactly (underflow),
+        # so no second where is needed
+        ms = jnp.where(in_band, scores, neg)
+        smax = jnp.max(ms, axis=0, keepdims=True)
+        p = jnp.exp(ms - smax)
         psum = jnp.sum(p, axis=0, keepdims=True)
         rsum = 1.0 / psum
         out = jax.lax.dot_general(
@@ -489,7 +493,11 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
     band and extension-validity fold into ONE select (``a`` being zero out
     of band makes a da-mask exactly redundant), and q is pre-scaled by
     1/sqrt(dk) so the score and dk matmuls need no banded rescale — only
-    the tiny (dk, qn) dq rows are rescaled."""
+    the tiny (dk, qn) dq rows are rescaled. (Folding the lse/delta
+    subtracts into the matmuls as augmented [-1; stats] contraction rows
+    was measured at parity — Mosaic already fuses the broadcasts into the
+    exp/mul passes — and would push the stats through a bf16 matmul input;
+    rejected.)"""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     H, dk_d, _ = qa_ref.shape

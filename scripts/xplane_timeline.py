@@ -6,16 +6,23 @@ sweeps each TPU trace line, attributes each instant to the innermost
 running event, and prints (a) exclusive us/iter by op-name bucket and
 (b) total busy vs gap time per line.
 
-Usage: python scripts/xplane_timeline.py <trace_dir> <iters> [top_n]
+Usage: python scripts/xplane_timeline.py <trace_dir> <iters> [top_n] [--ops]
+
+``--ops`` attributes to INDIVIDUAL op names (no family bucketing) — for
+itemizing which concrete stack/copy/slice ops carry a family's time.
 """
 
 import glob
 import re
 import sys
 
+BY_OP = "--ops" in sys.argv
+
 
 def bucket(name: str) -> str:
     """Collapse %op.N names into families."""
+    if BY_OP:
+        return name
     m = re.match(r"%?([a-zA-Z_\-]+)", name)
     fam = m.group(1) if m else name
     for key in ("sliding_window_attention_packed_bwd",
@@ -29,7 +36,8 @@ def bucket(name: str) -> str:
 def main():
     trace_dir = sys.argv[1]
     iters = int(sys.argv[2])
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    args = [a for a in sys.argv[3:] if not a.startswith("--")]
+    top_n = int(args[0]) if args else 30
 
     try:
         from xprof.protobuf import xplane_pb2
