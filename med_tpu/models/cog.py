@@ -483,22 +483,21 @@ class COG(nn.Module):
             # between stages, models_COG.py:482-524), so all stages run in
             # ONE kernel launch per direction (ops/tcn_fused.py multistack);
             # stage outputs feed the FPN exactly as the per-stage loop's.
-            from ..ops.tcn_fused import dilated_residual_multistack
+            # Stage weights/masks ride as PER-STAGE pallas operands — the
+            # per-step jnp.concatenate of the 4 stage trees (+ the VJP's
+            # grad-splitting slices) was ~110 us of the device profile.
+            from ..ops.tcn_fused import dilated_residual_multistack_stages
 
             out0 = slow_stages[0].pre(xx, train)          # (1, T, C)
             T_len = out0.shape[1]
             ws = [s.stack_weights() for s in slow_stages]
-            w3 = jnp.concatenate([w[0] for w in ws])
-            b3 = jnp.concatenate([w[1] for w in ws])
-            w1 = jnp.concatenate([w[2] for w in ws])
-            b1 = jnp.concatenate([w[3] for w in ws])
-            mask = None
+            masks = None
             if train:
-                masks = [s.stack_dropout_mask(1, T_len) for s in slow_stages]
-                mask = jnp.concatenate([m[:, 0] for m in masks])
-            hs = dilated_residual_multistack(
-                out0[0], w3, b3, w1, b1, self.num_layers_basic,
-                self.num_layers_r, causal=self.causal, mask=mask)
+                masks = [s.stack_dropout_mask(1, T_len)[:, 0]
+                         for s in slow_stages]
+            hs = dilated_residual_multistack_stages(
+                out0[0], ws, self.num_layers_basic,
+                self.num_layers_r, causal=self.causal, masks=masks)
             f_list = [hs[s][None] for s in range(len(slow_stages))]
             # per-stage class convs: logits are unused on the slow path
             # (exactly like the per-stage loop, which discards them), but

@@ -480,7 +480,7 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
 
 def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
                       k_ref, v_ref, dq_ref, dk_ref, dv_ref, *, window, tile,
-                      m, kh):
+                      m, kh, kh_chunk):
     """One grid cell = one key tile, ALL heads (see the forward kernel's
     note: per-cell fixed cost dominated the head-per-cell variant).
 
@@ -497,7 +497,14 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
     subtracts into the matmuls as augmented [-1; stats] contraction rows
     was measured at parity — Mosaic already fuses the broadcasts into the
     exp/mul passes — and would push the stats through a bf16 matmul input;
-    rejected.)"""
+    rejected.)
+
+    ``kh_chunk`` splits the key halo into row chunks: the banded (kh, qn)
+    intermediates partition EXACTLY by key rows (dq accumulates over
+    chunks, the dk/dv output rows land in static per-chunk slices), so
+    chunking caps the kernel's live VMEM at ~4 chunk-sized matrices with
+    zero redundant compute. Used when (kh, qn) full-halo buffers would
+    blow the ~16M scoped-VMEM stack (large m, e.g. TSVN's m = 30)."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     H, dk_d, _ = qa_ref.shape
@@ -505,51 +512,64 @@ def _swa_packed_bwd_kernel(qa_ref, qb_ref, ga_ref, gb_ref, sa_ref, sb_ref,
     ext = (window - 1) * m
     qn = n + ext
     inv_sqrt = 1.0 / math.sqrt(dk_d)
-    # band mask & validity of extension queries (clamped duplicate, last
-    # tile) as one select
-    row = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, qn), 1)
-    frame = col // m
-    mask = (row >= frame) & (row < frame + window) \
-        & ((i * tile + frame) < n_tiles * tile)
+    nchunks = kh // kh_chunk
+    # dk/dv output rows are the union's [window-1, window-1+tile) slice
+    lo, hi = window - 1, window - 1 + tile
     for h in range(H):
         q = jnp.concatenate([qa_ref[h], qb_ref[h][:, :ext]],
                             axis=1) * inv_sqrt                    # (dk, qn)
         g = jnp.concatenate([ga_ref[h], gb_ref[h][:, :ext]], axis=1)  # (dv, qn)
         s = jnp.concatenate([sa_ref[h], sb_ref[h][:, :ext]], axis=1)  # (2, qn)
-        kk = k_ref[h, :, pl.ds(i * tile, kh)]
-        vv = v_ref[h, :, pl.ds(i * tile, kh)]
+        dq_acc = None
+        for c in range(nchunks):
+            r0 = c * kh_chunk
+            # band mask & validity of extension queries (clamped duplicate,
+            # last tile) as one select; rows are chunk-local
+            row = jax.lax.broadcasted_iota(jnp.int32, (kh_chunk, qn), 0) + r0
+            col = jax.lax.broadcasted_iota(jnp.int32, (kh_chunk, qn), 1)
+            frame = col // m
+            mask = (row >= frame) & (row < frame + window) \
+                & ((i * tile + frame) < n_tiles * tile)
+            kk = k_ref[h, :, pl.ds(i * tile + r0, kh_chunk)]
+            vv = v_ref[h, :, pl.ds(i * tile + r0, kh_chunk)]
 
-        scores = jax.lax.dot_general(
-            kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                          # (kh, qn)
-        a = jnp.where(mask, jnp.exp(scores - s[0:1]), 0.0)
+            scores = jax.lax.dot_general(
+                kk, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (kh_chunk, qn)
+            a = jnp.where(mask, jnp.exp(scores - s[0:1]), 0.0)
 
-        da = jax.lax.dot_general(
-            vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                          # (kh, qn)
-        ds = a * (da - s[1:2])
+            da = jax.lax.dot_general(
+                vv, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (kh_chunk, qn)
+            ds = a * (da - s[1:2])
 
-        dq = jax.lax.dot_general(
-            kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_sqrt                               # (dk, qn)
+            dq_c = jax.lax.dot_general(
+                kk, ds, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (dk, qn)
+            dq_acc = dq_c if dq_acc is None else dq_acc + dq_c
+
+            # scores = kk^T (q/sqrt) -> d(scores)/dk is the pre-scaled q, so
+            # contracting ds with the scaled q needs no further rescale
+            dk_union = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (kh_chunk, dk)
+            dv_union = jax.lax.dot_general(
+                a, g, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (kh_chunk, dv)
+            # intersect chunk rows [r0, r0+kh_chunk) with [lo, hi)
+            a0, b0 = max(lo, r0), min(hi, r0 + kh_chunk)
+            if a0 < b0:
+                dk_ref[h, pl.ds(a0 - lo, b0 - a0)] = \
+                    dk_union[a0 - r0:b0 - r0].astype(dk_ref.dtype)
+                dv_ref[h, pl.ds(a0 - lo, b0 - a0)] = \
+                    dv_union[a0 - r0:b0 - r0].astype(dv_ref.dtype)
+        dq = dq_acc * inv_sqrt
         dq_ref[h] = dq[:, :n].astype(dq_ref.dtype)
-
-        # scores = kk^T (q/sqrt) -> d(scores)/dk is the pre-scaled q, so
-        # contracting ds with the scaled q needs no further rescale
-        dk_union = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                          # (kh, dk)
-        dv_union = jax.lax.dot_general(
-            a, g, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                          # (kh, dv)
-        dk_ref[h] = dk_union[window - 1: window - 1 + tile].astype(dk_ref.dtype)
-        dv_ref[h] = dv_union[window - 1: window - 1 + tile].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret"))
@@ -568,6 +588,10 @@ def sliding_window_attention_packed_bwd(q, k, v, g, out, stats, window: int,
     n_tiles = Tp // tile
     halo = _key_halo(tile, window)
     Tk = Tp + halo
+    # ~4 banded (halo, qn) f32 matrices live at once; chunk the key rows
+    # when they would blow the ~16M scoped-VMEM stack (see the kernel)
+    qn = (tile + window - 1) * m
+    kh_chunk = halo if 4 * halo * qn * 4 <= 11e6 else 128
 
     delta = jnp.einsum("hdn,hdn->hn", out, g)
     sd = jnp.stack([stats[:, 0], delta], axis=1)   # (H, 2, N): lse, delta
@@ -579,9 +603,18 @@ def sliding_window_attention_packed_bwd(q, k, v, g, out, stats, window: int,
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     last = n_tiles - 1
 
+    # the chunked body still carries ~1.05x the 16M default scoped-vmem
+    # budget in mask/int temporaries at m=30; the v5e has 128M physical
+    # VMEM, so grant the kernel headroom explicitly (TPU lowering only —
+    # interpret mode ignores compiler params)
+    cparams = None
+    if pltpu is not None and not interpret:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
     dq, dk_out, dv_out = pl.pallas_call(
         functools.partial(_swa_packed_bwd_kernel, window=window, tile=tile, m=m,
-                          kh=halo),
+                          kh=halo, kh_chunk=kh_chunk),
+        compiler_params=cparams,
         out_shape=(
             jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype),
             jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),

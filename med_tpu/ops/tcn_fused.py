@@ -702,6 +702,417 @@ def dilated_residual_multistack(x, w3, b3, w1, b1, L0: int, Lr: int, *,
 
 
 # ---------------------------------------------------------------------------
+# PER-STAGE-OPERAND multistack: same math as dilated_residual_multistack but
+# the stage weight stacks (and dropout masks) ride in as SEPARATE pallas
+# operands instead of host-side jnp.concatenate inputs. The concats were
+# ~65 us/step of the COG profile and their VJP added ~45 us of grad-splitting
+# slices; here the cotangents are emitted as per-stage outputs directly.
+#
+# Mechanics:
+# - stage-s operands use CLAMPED index maps (clip(i - start_s, 0, L_s-1)):
+#   out-of-stage cells revisit a constant block index, so Mosaic skips the
+#   refetch (inputs) and defers the writeback (outputs) — per-cell DMA
+#   traffic matches the concatenated version.
+# - the kernel copies the ACTIVE stage's weight blocks into VMEM scratch
+#   under @pl.when(stage == s) (one small copy per cell), so the compute
+#   body stays single-instanced.
+# - backward dW/db writes are @pl.when-guarded per stage. Out-of-stage cells
+#   never write their clamped block: the pre-owner visitors' undefined block
+#   is fully overwritten by the owner (every owner writes the whole block),
+#   and post-owner visitors revisit the owner's block without touching it —
+#   the standard Pallas output-revisiting contract.
+# ---------------------------------------------------------------------------
+
+
+def _stage_starts(Ls):
+    starts = [0]
+    for length in Ls[:-1]:
+        starts.append(starts[-1] + length)
+    return starts
+
+
+def _clamp_map3(start, Lc):
+    return lambda i: (jnp.clip(i - start, 0, Lc - 1), 0, 0)
+
+
+def _clamp_map4(start, Lc):
+    return lambda i: (jnp.clip(i - start, 0, Lc - 1), 0, 0, 0)
+
+
+def _rev_clamp_map3(start, Lc, Lt):
+    return lambda i: (jnp.clip((Lt - 1 - i) - start, 0, Lc - 1), 0, 0)
+
+
+def _rev_clamp_map4(start, Lc, Lt):
+    return lambda i: (jnp.clip((Lt - 1 - i) - start, 0, Lc - 1), 0, 0, 0)
+
+
+def _multi_fwd_kernel_s(*refs, causal: bool, pad: int, L0: int, Lr: int,
+                        S: int, use_mask: bool, save: bool):
+    x_ref = refs[0]
+    wrefs = refs[1:1 + 4 * S]
+    off = 1 + 4 * S
+    if use_mask:
+        mrefs = refs[off:off + S]
+        off += S
+    outs = refs[off:-2] if use_mask else refs[off:-1]
+    if save:
+        hs_ref, h_saved_ref, y_saved_ref = outs
+    else:
+        (hs_ref,) = outs
+    if use_mask:
+        hp_ref, mask_scr = refs[-2], refs[-1]
+    else:
+        hp_ref = refs[-1]
+
+    T, C = x_ref.shape
+    i = pl.program_id(0)
+    st = _stage_of(i, L0, Lr)
+
+    @pl.when(i == 0)
+    def _():
+        hp_ref[pl.ds(0, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad + T, pad)] = jnp.zeros((pad, C), jnp.float32)
+        hp_ref[pl.ds(pad, T)] = x_ref[:]
+
+    # active-stage weights: tiny arithmetic selects (S terms on <=48KB)
+    w3 = b3 = w1 = b1 = None
+    for s in range(S):
+        sel = (st == s).astype(jnp.float32)
+        w3s, b3s, w1s, b1s = (wrefs[4 * s + j][0] for j in range(4))
+        w3 = w3s * sel if w3 is None else w3 + w3s * sel
+        b3 = b3s * sel if b3 is None else b3 + b3s * sel
+        w1 = w1s * sel if w1 is None else w1 + w1s * sel
+        b1 = b1s * sel if b1 is None else b1 + b1s * sel
+    if use_mask:
+        # (T, C) u8 plane: guarded VMEM copy, not an S-term select
+        for s in range(S):
+            @pl.when(st == s)
+            def _(s=s):
+                mask_scr[:] = mrefs[s][0]
+
+    h = hp_ref[pl.ds(pad, T)]
+    if save:
+        h_saved_ref[0] = h
+
+    d = jnp.int32(1) << _local_of(i, L0, Lr)
+    acc = b3
+    for j, s in enumerate(_shifts(d, causal)):
+        acc = acc + jax.lax.dot_general(
+            hp_ref[pl.ds(pad - s, T)], w3[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.maximum(acc, 0.0)
+    if save:
+        y_saved_ref[0] = y
+    z = jax.lax.dot_general(
+        y, w1,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b1
+    if use_mask:
+        z = z * (mask_scr[:].astype(jnp.int32).astype(jnp.float32) * 2.0)
+    hn = h + z
+    hp_ref[pl.ds(pad, T)] = hn
+    hs_ref[0] = hn
+
+
+def _multi_fwd_call_s(x, ws, masks, *, causal: bool, L0: int, Lr: int,
+                      save: bool, interpret: bool):
+    S = len(ws)
+    Ls = [w[0].shape[0] for w in ws]
+    starts = _stage_starts(Ls)
+    Lt = sum(Ls)
+    C = ws[0][0].shape[2]
+    T = x.shape[0]
+    pad = 2 ** max(L0, Lr)
+
+    in_arrays = [x]
+    in_specs = [pl.BlockSpec((T, C), lambda i: (0, 0))]
+    for s, (w3, b3, w1, b1) in enumerate(ws):
+        Lc, st0 = Ls[s], starts[s]
+        in_arrays += [w3, b3.reshape(Lc, 1, C), w1, b1.reshape(Lc, 1, C)]
+        in_specs += [
+            pl.BlockSpec((1, 3, C, C), _clamp_map4(st0, Lc)),
+            pl.BlockSpec((1, 1, C), _clamp_map3(st0, Lc)),
+            pl.BlockSpec((1, C, C), _clamp_map3(st0, Lc)),
+            pl.BlockSpec((1, 1, C), _clamp_map3(st0, Lc)),
+        ]
+    if masks is not None:
+        for s, mk in enumerate(masks):
+            in_arrays.append(mk)
+            in_specs.append(pl.BlockSpec((1, T, C), _clamp_map3(starts[s], Ls[s])))
+
+    out_shape = [jax.ShapeDtypeStruct((S, T, C), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, T, C), lambda i: (_stage_of(i, L0, Lr), 0, 0))]
+    if save:
+        out_shape += [jax.ShapeDtypeStruct((Lt, T, C), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0))] * 2
+
+    scratch = [pltpu.VMEM((pad + T + pad, C), jnp.float32)]
+    if masks is not None:
+        scratch.append(pltpu.VMEM((T, C), jnp.uint8))
+
+    out = pl.pallas_call(
+        functools.partial(_multi_fwd_kernel_s, causal=causal, pad=pad, L0=L0,
+                          Lr=Lr, S=S, use_mask=masks is not None, save=save),
+        grid=(Lt,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*in_arrays)
+    return out if save else out[0]
+
+
+def _multi_bwd_kernel_s(*refs, causal: bool, pad: int, Lt: int, L0: int,
+                        Lr: int, S: int, use_mask: bool):
+    g_ref, h_ref, y_ref = refs[:3]
+    wrefs = refs[3:3 + 2 * S]
+    off = 3 + 2 * S
+    if use_mask:
+        mrefs = refs[off:off + S]
+        off += S
+    dx_ref = refs[off]
+    drefs = refs[off + 1:off + 1 + 4 * S]
+    if use_mask:
+        dh_scr, hp_scr, ap_scr, mask_scr = refs[-4:]
+    else:
+        dh_scr, hp_scr, ap_scr = refs[-3:]
+
+    T, C = dx_ref.shape
+    i = pl.program_id(0)
+    l = (Lt - 1) - i
+    st = _stage_of(l, L0, Lr)
+    local = _local_of(l, L0, Lr)
+    d = jnp.int32(1) << local
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros((T, C), jnp.float32)
+        zeros = jnp.zeros((pad, C), jnp.float32)
+        hp_scr[pl.ds(0, pad)] = zeros
+        hp_scr[pl.ds(pad + T, pad)] = zeros
+        ap_scr[pl.ds(0, pad)] = zeros
+        ap_scr[pl.ds(pad + T, pad)] = zeros
+
+    w3 = w1 = None
+    for s in range(S):
+        sel = (st == s).astype(jnp.float32)
+        w3s, w1s = wrefs[2 * s][0], wrefs[2 * s + 1][0]
+        w3 = w3s * sel if w3 is None else w3 + w3s * sel
+        w1 = w1s * sel if w1 is None else w1 + w1s * sel
+    if use_mask:
+        for s in range(S):
+            @pl.when(st == s)
+            def _(s=s):
+                mask_scr[:] = mrefs[s][0]
+
+    stage_len = jnp.where(l < L0, L0, Lr)
+    dh_out = dh_scr[:]
+    is_end = local == stage_len - 1
+    dh_out = dh_out + jnp.where(is_end, 1.0, 0.0) * g_ref[0]
+
+    h = h_ref[0]
+    hp_scr[pl.ds(pad, T)] = h
+
+    shifts = _shifts(d, causal)
+    y = y_ref[0]
+
+    dz = (
+        dh_out * (mask_scr[:].astype(jnp.int32).astype(jnp.float32) * 2.0)
+        if use_mask else dh_out
+    )
+    dw1_val = jax.lax.dot_general(
+        y, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    db1_val = jnp.sum(dz, axis=0, keepdims=True)
+    dy = jax.lax.dot_general(
+        dz, w1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    da = jnp.where(y > 0.0, dy, 0.0)
+    db3_val = jnp.sum(da, axis=0, keepdims=True)
+
+    ap_scr[pl.ds(pad, T)] = da
+    dhc = dh_out
+    dw3_vals = []
+    for j, s in enumerate(shifts):
+        dw3_vals.append(jax.lax.dot_general(
+            hp_scr[pl.ds(pad - s, T)], da,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+        dhc = dhc + jax.lax.dot_general(
+            ap_scr[pl.ds(pad + s, T)], w3[j],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # guarded per-stage writes: only the owner cell touches its block
+    for s in range(S):
+        @pl.when(st == s)
+        def _(s=s):
+            dw3_r, db3_r, dw1_r, db1_r = drefs[4 * s:4 * s + 4]
+            for j in range(3):
+                dw3_r[0, j] = dw3_vals[j]
+            db3_r[0] = db3_val
+            dw1_r[0] = dw1_val
+            db1_r[0] = db1_val
+    dh_scr[:] = dhc
+    dx_ref[:] = dhc
+
+
+def _multi_bwd_call_s(g, h_saved, y_saved, ws, masks, *, causal: bool,
+                      L0: int, Lr: int, interpret: bool):
+    S = len(ws)
+    Ls = [w[0].shape[0] for w in ws]
+    starts = _stage_starts(Ls)
+    Lt = sum(Ls)
+    C = ws[0][0].shape[2]
+    T = g.shape[1]
+    pad = 2 ** max(L0, Lr)
+
+    rev = lambda i: (Lt - 1 - i, 0, 0)  # noqa: E731
+    g_map = lambda i: (_stage_of(Lt - 1 - i, L0, Lr), 0, 0)  # noqa: E731
+
+    in_arrays = [g, h_saved, y_saved]
+    in_specs = [
+        pl.BlockSpec((1, T, C), g_map),
+        pl.BlockSpec((1, T, C), rev),
+        pl.BlockSpec((1, T, C), rev),
+    ]
+    for s, (w3, _, w1, _) in enumerate(ws):
+        Lc, st0 = Ls[s], starts[s]
+        in_arrays += [w3, w1]
+        in_specs += [
+            pl.BlockSpec((1, 3, C, C), _rev_clamp_map4(st0, Lc, Lt)),
+            pl.BlockSpec((1, C, C), _rev_clamp_map3(st0, Lc, Lt)),
+        ]
+    if masks is not None:
+        for s, mk in enumerate(masks):
+            in_arrays.append(mk)
+            in_specs.append(
+                pl.BlockSpec((1, T, C), _rev_clamp_map3(starts[s], Ls[s], Lt)))
+
+    out_shape = [jax.ShapeDtypeStruct((T, C), jnp.float32)]
+    out_specs = [pl.BlockSpec((T, C), lambda i: (0, 0))]
+    for s in range(S):
+        Lc, st0 = Ls[s], starts[s]
+        out_shape += [
+            jax.ShapeDtypeStruct((Lc, 3, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, 1, C), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, 3, C, C), _rev_clamp_map4(st0, Lc, Lt)),
+            pl.BlockSpec((1, 1, C), _rev_clamp_map3(st0, Lc, Lt)),
+            pl.BlockSpec((1, C, C), _rev_clamp_map3(st0, Lc, Lt)),
+            pl.BlockSpec((1, 1, C), _rev_clamp_map3(st0, Lc, Lt)),
+        ]
+
+    scratch = [
+        pltpu.VMEM((T, C), jnp.float32),
+        pltpu.VMEM((pad + T + pad, C), jnp.float32),
+        pltpu.VMEM((pad + T + pad, C), jnp.float32),
+    ]
+    if masks is not None:
+        scratch.append(pltpu.VMEM((T, C), jnp.uint8))
+
+    outs = pl.pallas_call(
+        functools.partial(_multi_bwd_kernel_s, causal=causal, pad=pad, Lt=Lt,
+                          L0=L0, Lr=Lr, S=S, use_mask=masks is not None),
+        grid=(Lt,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*in_arrays)
+    dx = outs[0]
+    dws = tuple(
+        (outs[1 + 4 * s], outs[2 + 4 * s].reshape(Ls[s], C),
+         outs[3 + 4 * s], outs[4 + 4 * s].reshape(Ls[s], C))
+        for s in range(S))
+    return dx, dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_multis_train(causal, interpret, L0, Lr, x, ws, masks):
+    return _multi_fwd_call_s(x, ws, masks, causal=causal, L0=L0, Lr=Lr,
+                             save=False, interpret=interpret)
+
+
+def _fused_multis_train_fwd(causal, interpret, L0, Lr, x, ws, masks):
+    hs, h_saved, y_saved = _multi_fwd_call_s(x, ws, masks, causal=causal,
+                                             L0=L0, Lr=Lr, save=True,
+                                             interpret=interpret)
+    return hs, (h_saved, y_saved, ws, masks)
+
+
+def _fused_multis_train_bwd(causal, interpret, L0, Lr, res, g):
+    h_saved, y_saved, ws, masks = res
+    dx, dws = _multi_bwd_call_s(g, h_saved, y_saved, ws, masks,
+                                causal=causal, L0=L0, Lr=Lr,
+                                interpret=interpret)
+    dmasks = tuple(np.zeros(m.shape, dtype=jax.dtypes.float0) for m in masks)
+    return dx, dws, dmasks
+
+
+_fused_multis_train.defvjp(_fused_multis_train_fwd, _fused_multis_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_multis_eval(causal, interpret, L0, Lr, x, ws):
+    return _multi_fwd_call_s(x, ws, None, causal=causal, L0=L0, Lr=Lr,
+                             save=False, interpret=interpret)
+
+
+def _fused_multis_eval_fwd(causal, interpret, L0, Lr, x, ws):
+    hs, h_saved, y_saved = _multi_fwd_call_s(x, ws, None, causal=causal,
+                                             L0=L0, Lr=Lr, save=True,
+                                             interpret=interpret)
+    return hs, (h_saved, y_saved, ws)
+
+
+def _fused_multis_eval_bwd(causal, interpret, L0, Lr, res, g):
+    h_saved, y_saved, ws = res
+    dx, dws = _multi_bwd_call_s(g, h_saved, y_saved, ws, None, causal=causal,
+                                L0=L0, Lr=Lr, interpret=interpret)
+    return dx, dws
+
+
+_fused_multis_eval.defvjp(_fused_multis_eval_fwd, _fused_multis_eval_bwd)
+
+
+def dilated_residual_multistack_stages(x, stage_weights, L0: int, Lr: int, *,
+                                       causal: bool = True, masks=None,
+                                       interpret=None):
+    """:func:`dilated_residual_multistack` with PER-STAGE operands: no
+    host-side weight/mask concatenation, per-stage gradient outputs.
+
+    ``stage_weights`` is a sequence of (w3 (L_s,3,C,C), b3 (L_s,C),
+    w1 (L_s,C,C), b1 (L_s,C)); ``masks`` a matching sequence of
+    (L_s, T, C) uint8 keep-masks, or None (eval)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x = x.astype(jnp.float32)
+    ws = tuple(tuple(w) for w in stage_weights)
+    if masks is None:
+        return _fused_multis_eval(causal, interpret, L0, Lr, x, ws)
+    return _fused_multis_train(causal, interpret, L0, Lr, x, ws, tuple(masks))
+
+
+# ---------------------------------------------------------------------------
 # lax-level oracle (CPU fallback / tests)
 # ---------------------------------------------------------------------------
 

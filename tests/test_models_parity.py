@@ -337,3 +337,35 @@ def test_transsvnet_parity(rng):
         {"params": params}, jnp.asarray(logits), jnp.asarray(feats), train=False
     )
     np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-4, atol=1e-5)
+
+
+def test_transsvnet_packed_encoder_matches_windows(rng):
+    """TransSVNet(packed=True) — the banded-kernel encoder — equals the
+    windowed-einsum path exactly: outputs and gradients, for T both below
+    and above the window length (zero-padded early windows included)."""
+    from med_tpu.models.transsvnet import TransSVNet
+
+    for T in (9, 47):
+        fmaps, classes, len_q, dim, h = 8, 3, 6, 12, 4
+        logits = jnp.asarray(rng.normal(size=(1, T, classes)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(1, T, dim)), jnp.float32)
+        mp = TransSVNet(f_maps=fmaps, out_classes=classes, len_q=len_q,
+                        in_dim=dim, n_heads=h, packed=True)
+        mu = TransSVNet(f_maps=fmaps, out_classes=classes, len_q=len_q,
+                        in_dim=dim, n_heads=h, packed=False)
+        v = mp.init(jax.random.key(0), logits, feats)
+        a = mp.apply(v, logits, feats)
+        b = mu.apply(v, logits, feats)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+        probe = jnp.sin(jnp.arange(a.size).reshape(a.shape) * 0.1)
+
+        def loss(m):
+            def f(params, lg):
+                return jnp.sum(m.apply({"params": params}, lg, feats) * probe)
+            return f
+
+        ga = jax.grad(loss(mp), argnums=(0, 1))(v["params"], logits)
+        gb = jax.grad(loss(mu), argnums=(0, 1))(v["params"], logits)
+        for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)

@@ -269,6 +269,44 @@ def test_swa_packed_wide_window_grads(rng):
                                np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
 
 
+def test_swa_packed_kh_chunked_bwd_grads(rng):
+    """Large-m regime (TSVN: m = window = 30): the merged backward's banded
+    buffers exceed the scoped-VMEM stack unchunked, so the kernel splits the
+    key halo into 128-row chunks (dq accumulated, dk/dv rows assembled from
+    per-chunk slices). Grads must match the XLA path exactly."""
+    import jax
+    from med_tpu.ops.attention import (
+        _swa_packed_ad,
+        sliding_window_attention_xla,
+    )
+
+    T, H, M, dk, W = 140, 2, 30, 4, 30
+    # the chunk trigger: 4 banded f32 buffers at qn=(128+W-1)*M > 11 MB
+    assert 4 * 256 * (128 + W - 1) * M * 4 > 11e6
+    q4 = jnp.asarray(rng.normal(size=(H, T, M, dk)), jnp.float32)
+    k4 = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    v4 = jnp.asarray(rng.normal(size=(H, T, dk)), jnp.float32)
+    qT = q4.reshape(H, T * M, dk).transpose(0, 2, 1)
+    kT = k4.transpose(0, 2, 1)
+    vT = v4.transpose(0, 2, 1)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(_swa_packed_ad(q, k, v, W, M, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sliding_window_attention_xla(q, k, v, W) ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(qT, kT, vT)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q4, k4, v4)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]).transpose(0, 2, 1).reshape(H, T, M, dk),
+        np.asarray(gx[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]).transpose(0, 2, 1),
+                               np.asarray(gx[1]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[2]).transpose(0, 2, 1),
+                               np.asarray(gx[2]), rtol=1e-4, atol=1e-5)
+
+
 def test_swa_packed_vmap_grads_match_xla(rng):
     """vmap over the packed custom-VJP path (the trial-parallel /
     fold-parallel regime): jax's generic pallas batching inserts a squeezed

@@ -111,6 +111,60 @@ def test_multistack_matches_stagewise_oracle(rng, causal, use_mask):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_multistack_stages_matches_concat(rng, causal, use_mask):
+    """The per-stage-operand multistack == the concatenated-operand one:
+    stage outputs, dx, and every per-stage weight gradient (the guarded
+    clamped-block writes must not clobber owner blocks)."""
+    from med_tpu.ops.tcn_fused import (
+        dilated_residual_multistack,
+        dilated_residual_multistack_stages,
+    )
+
+    L0, Lr, S, T, C = 4, 3, 3, 64, 16
+    Lt = L0 + (S - 1) * Lr
+    x = jnp.asarray(rng.normal(size=(T, C)), jnp.float32)
+    w3 = jnp.asarray(rng.normal(size=(Lt, 3, C, C)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.normal(size=(Lt, C)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(Lt, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(Lt, C)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(Lt, T, C)), jnp.uint8)
+
+    bounds = [0] + [L0 + s * Lr for s in range(S)]
+    pairs = list(zip(bounds[:-1], bounds[1:]))
+    ws = [(w3[a:b], b3[a:b], w1[a:b], b1[a:b]) for a, b in pairs]
+    masks = [mask[a:b] for a, b in pairs] if use_mask else None
+    m = mask if use_mask else None
+
+    got = dilated_residual_multistack_stages(x, ws, L0, Lr, causal=causal,
+                                             masks=masks)
+    want = dilated_residual_multistack(x, w3, b3, w1, b1, L0, Lr,
+                                       causal=causal, mask=m)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    probe = jnp.cos(jnp.arange(want.size).reshape(want.shape) * 0.01)
+
+    def loss_stages(x, ws):
+        out = dilated_residual_multistack_stages(x, ws, L0, Lr,
+                                                 causal=causal, masks=masks)
+        return jnp.sum(out * probe)
+
+    def loss_cat(x, w3, b3, w1, b1):
+        out = dilated_residual_multistack(x, w3, b3, w1, b1, L0, Lr,
+                                          causal=causal, mask=m)
+        return jnp.sum(out * probe)
+
+    gx_s, gws = jax.grad(loss_stages, argnums=(0, 1))(x, tuple(ws))
+    gx_c, gw3, gb3, gw1, gb1 = jax.grad(
+        loss_cat, argnums=(0, 1, 2, 3, 4))(x, w3, b3, w1, b1)
+    np.testing.assert_allclose(gx_s, gx_c, rtol=1e-5, atol=1e-6)
+    for s, (a, b) in enumerate(pairs):
+        for got_g, want_g in zip(gws[s], (gw3[a:b], gb3[a:b],
+                                          gw1[a:b], gb1[a:b])):
+            np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("channel_dropout", [False, True])
 def test_cogstage_fused_matches_module_path(rng, channel_dropout):
     """COGStage(fused=True) == COGStage(fused=False): same params (the fused
