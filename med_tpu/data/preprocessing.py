@@ -25,6 +25,7 @@ drivers. The reference's semantics, reproduced exactly:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -227,19 +228,51 @@ def preprocess_frames_native(
     return out
 
 
-def jax_preprocess_frames(frames_uint8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    """Fused on-device preprocessing graph: bilinear resize 240 -> center
-    crop 224 -> /255 -> normalize. Feeds the ResNet without host-side pixel
-    work (BASELINE.json: 'fused JAX/XLA preprocessing graph')."""
+@functools.lru_cache(maxsize=None)
+def _resize_crop_matrix(n_in: int, n_out: int, lo: int, hi: int) -> np.ndarray:
+    """(n_in, hi-lo) matrix M with M[i, k] = weight of input pixel i in
+    output pixel lo+k of jax.image.resize(..., n_out, 'bilinear') — resize
+    is a linear map per axis (incl. the antialias taps on downsample), so
+    the exact matrix is resize applied to the identity. Computed eagerly on
+    CPU so tracing never eager-dispatches through the TPU relay."""
     import jax
     import jax.numpy as jnp
 
+    cpu = jax.devices("cpu")[0]
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        eye = jnp.eye(n_in, dtype=jnp.float32)
+        m = jax.image.resize(eye, (n_in, n_out), method="bilinear")
+        out = np.asarray(m[:, lo:hi])
+    return out
+
+
+def jax_preprocess_frames(frames_uint8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Fused on-device preprocessing graph: bilinear resize 240 -> center
+    crop 224 -> /255 -> normalize. Feeds the ResNet without host-side pixel
+    work (BASELINE.json: 'fused JAX/XLA preprocessing graph').
+
+    TPU formulation: the per-axis resize+crop is applied as matmuls against
+    exact resize matrices (MXU work instead of the gather/conv lowering of
+    jax.image.resize, which profiled at ~0.9 ms/step for 128 frames), with
+    the /255+normalize folded into one affine on the result. A 240-long
+    axis resizes to identity, so that matmul collapses to the crop slice."""
+    import jax.numpy as jnp
+
     x = jnp.asarray(frames_uint8).astype(jnp.float32)
-    n = x.shape[0]
-    x = jax.image.resize(x, (n, 240, 240, 3), method="bilinear")
-    x = x[:, 8:232, 8:232, :]
-    x = x / 255.0
-    return (x - jnp.asarray(mean)) / jnp.asarray(std)
+    n, h, w, c = x.shape
+    if h == 240:
+        x = x[:, 8:232]
+    else:
+        rh = jnp.asarray(_resize_crop_matrix(h, 240, 8, 232))
+        x = jnp.einsum("nhwc,hp->npwc", x, rh)
+    if w == 240:
+        x = x[:, :, 8:232]
+    else:
+        rw = jnp.asarray(_resize_crop_matrix(w, 240, 8, 232))
+        x = jnp.einsum("nhwc,wq->nhqc", x, rw)
+    scale = jnp.asarray(1.0 / (255.0 * std), jnp.float32)
+    shift = jnp.asarray(-mean / std, jnp.float32)
+    return x * scale + shift
 
 
 def subsample_stream(frames_iter, frequency: int = 30):
