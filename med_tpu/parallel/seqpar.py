@@ -202,14 +202,14 @@ def sp_tecno_loss(params, x, labels, mask, *, num_stages, axis_name,
 def sp_dropout_masks(key, *, num_stages, num_layers, T, channels):
     """Global (num_stages, L, T, C) keep-masks at rate 0.5, bit-unpacked
     from threefry words exactly like ``ResidualStack.dropout_mask``
-    (one bit per element; T must be a multiple of 32). Generated OUTSIDE
-    shard_map so pjit partitions the counter-based generation along T."""
-    tw = T // 32
+    (one bit per element). Generated OUTSIDE shard_map so pjit partitions
+    the counter-based generation along T."""
+    tw = (T + 31) // 32
     words = jax.random.bits(
         key, (num_stages, num_layers, tw, 1, channels), jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32).reshape(1, 1, 1, 32, 1)
     bits = ((words >> shifts) & jnp.uint32(1)).astype(jnp.uint8)
-    return bits.reshape(num_stages, num_layers, T, channels)
+    return bits.reshape(num_stages, num_layers, tw * 32, channels)[:, :, :T]
 
 
 def make_sp_tecno_train_step(mesh: Mesh, optimizer, *, num_stages: int,
