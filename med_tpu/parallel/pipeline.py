@@ -1,0 +1,123 @@
+"""Pipeline parallelism (PP) over the multi-stage TCN refinement chain.
+
+TeCNo / the COG fast path refine logits through a chain of identical
+stages (stage s consumes ``softmax`` of stage s-1's logits — reference
+models_TCN.py:17-101, models_COG.py:482-524). That chain is a natural
+pipeline: put stage s's params on device s and stream TRIALS through as
+microbatches — a scaling axis the reference's batch_size=1 loop cannot
+express, and orthogonal to DP (trials), SP (time) and TP (FE width).
+
+TPU-first schedule (the scaling-book collective-program form — no
+send/recv loops, no per-stage processes):
+
+- stage params live STACKED (R, ...) and sharded over the mesh axis, so
+  device d holds exactly stage d's weights;
+- ONE ``lax.scan`` over ``M + R - 1`` pipeline steps runs inside
+  ``jax.shard_map``: at step j device d applies its stage to microbatch
+  ``j - d``, then the activations rotate one hop right via `lax.ppermute`
+  (ICI neighbor transfer, (T, C) logits — tiny);
+- device 0 injects microbatch j at step j; device d's step-j output IS
+  stage d's logits for microbatch j-d, so the scan's stacked outputs hold
+  every (stage, microbatch) pair — the multi-stage loss needs all of them
+  (CE averages across stages);
+- the pipeline bubble is the usual (R-1)/(M+R-1) idle fraction; feed
+  M >> R microbatches to amortize;
+- **backward**: ``jax.grad`` straight through the scan — the transpose of
+  the forward rotation is the reverse rotation, so the pipelined backward
+  schedule falls out of XLA's autodiff; no hand-written bwd pass. Grads
+  arrive sharded per stage like the params.
+
+Dropout is off inside the pipeline (the refinement chain is most often
+frozen or eval; the SP/DP paths cover stochastic training). Exact parity
+with the sequential stage loop is pinned in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _stage_apply(p, x):
+    """SingleStageTCN (models/layers.py) eval forward on one (T, C_in)
+    block: conv1x1 in -> dilated residual stack -> conv1x1 out."""
+    ci = p["conv_in"]["Conv_0"]
+    h = x @ ci["kernel"][0] + ci["bias"]
+    st = p["stack"]
+    L = st["w3"].shape[0]
+    T = h.shape[0]
+    for i in range(L):
+        d = 2 ** i
+        hp = jnp.pad(h, ((2 * d, 0), (0, 0)))
+        y = (hp[:T] @ st["w3"][i, 0] + hp[d : d + T] @ st["w3"][i, 1]
+             + hp[2 * d : 2 * d + T] @ st["w3"][i, 2] + st["b3"][i])
+        y = jax.nn.relu(y) @ st["w1"][i] + st["b1"][i]
+        h = h + y
+    co = p["conv_out"]["Conv_0"]
+    return h @ co["kernel"][0] + co["bias"]
+
+
+def stack_stage_params(params, num_stages: int, first: int = 1):
+    """Stack TeCNo's per-stage trees ``stage{first}..stage{num_stages-1}``
+    into one tree with a leading stage axis (the pipeline's sharded
+    layout). All refinement stages share shapes (conv_in is (2, f))."""
+    trees = [params[f"stage{s}"] for s in range(first, num_stages)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def pipeline_refine(stacked_params, logits0, mesh: Mesh,
+                    axis_name: str = "data"):
+    """Run R refinement stages over M microbatches as one pipelined
+    program.
+
+    stacked_params: per-stage trees stacked (R, ...), R = mesh axis size;
+    logits0 (M, T, C): stage-0 output logits per microbatch (trial).
+    Returns (R, M, T, C): every refinement stage's logits for every
+    microbatch (stage r of the chain = global stage ``first + r``).
+    """
+    R = int(mesh.shape[axis_name])
+    M, T, C = logits0.shape
+
+    def worker(p_local, l0):
+        p = jax.tree.map(lambda a: a[0], p_local)  # (1, ...) -> stage tree
+        d = lax.axis_index(axis_name)
+        steps = M + R - 1
+        perm = [(i, i + 1) for i in range(R - 1)]
+
+        def body(buf, j):
+            # device 0 injects microbatch j; downstream devices consume
+            # the rotated buffer (stage d-1's logits for microbatch j-d)
+            inj = l0[jnp.clip(j, 0, M - 1)]
+            inp = jnp.where(d == 0, inj, buf)
+            out = _stage_apply(p, jax.nn.softmax(inp, axis=-1))
+            nxt = lax.ppermute(out, axis_name, perm) if R > 1 else out
+            return nxt, out
+
+        # the rotated carry is device-VARYING; mark the initial zeros so
+        # the scan's carry types match (shard_map VMA tracking)
+        buf0 = lax.pcast(jnp.zeros((T, C), logits0.dtype),
+                         (axis_name,), to="varying")
+        _, outs = lax.scan(body, buf0, jnp.arange(steps))
+        return outs[None]  # (1, steps, T, C) -> gathered (R, steps, T, C)
+
+    outs = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(axis_name), P()), out_specs=P(axis_name),
+    )(stacked_params, logits0)
+    # device (stage) s's step-(m+s) output is microbatch m's stage-s logits
+    idx = jnp.arange(M)[None, :] + jnp.arange(R)[:, None]  # (R, M)
+    return jnp.take_along_axis(
+        outs, idx[:, :, None, None], axis=1)
+
+
+def shard_stage_params(stacked_params, mesh: Mesh, axis_name: str = "data"):
+    """Place stacked stage trees with the stage axis sharded."""
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))))
+    return jax.tree.map(put, stacked_params)

@@ -1,0 +1,104 @@
+"""Pipeline parallelism (parallel/pipeline.py): the GPipe-style ppermute
+rotation over TeCNo refinement stages must reproduce the sequential stage
+chain exactly — forward (vs the flax module) and gradients (through the
+scan + rotation transpose)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from med_tpu.models.tcn import TeCNo
+from med_tpu.parallel import make_mesh
+from med_tpu.parallel.pipeline import (
+    _stage_apply,
+    pipeline_refine,
+    shard_stage_params,
+    stack_stage_params,
+)
+
+S_TOTAL = 5   # stage0 + 4 refinement stages = data-axis size of the mesh
+M, T, C_IN = 6, 64, 12
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(devices=jax.devices())
+
+
+@pytest.fixture(scope="module")
+def tecno(rng_module=np.random.default_rng(3)):
+    model = TeCNo(num_stages=S_TOTAL, num_layers=3, f_maps=8, in_dim=C_IN,
+                  out_classes=2, fused=False)
+    x = jnp.asarray(rng_module.normal(size=(M, T, C_IN)), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x[:1],
+                        train=False)["params"]
+    return model, params, x
+
+
+def test_pipeline_matches_module_chain(mesh, tecno):
+    """pipeline_refine(stage-0 logits) == the flax TeCNo's own later-stage
+    logits, for every (stage, microbatch) pair."""
+    model, params, x = tecno
+    R = int(mesh.shape["data"])
+    assert R == S_TOTAL - 1, "test expects a 4-wide data axis"
+
+    ref = np.stack([  # (S, M, T, 2): per-trial module forward
+        np.asarray(model.apply({"params": params}, x[m : m + 1],
+                               train=False))[:, 0]
+        for m in range(M)
+    ], axis=1)
+    logits0 = jnp.asarray(ref[0])
+
+    stacked = shard_stage_params(
+        stack_stage_params(params, S_TOTAL), mesh)
+    got = jax.jit(lambda p, l0: pipeline_refine(p, l0, mesh))(
+        stacked, logits0)
+    assert got.shape == (R, M, T, 2)
+    np.testing.assert_allclose(np.asarray(got), ref[1:], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_pipeline_grads_match_sequential(mesh, tecno):
+    """Gradients THROUGH the pipelined scan (rotation transposes) equal
+    the sequential refinement chain's gradients."""
+    model, params, x = tecno
+    R = int(mesh.shape["data"])
+    out0 = model.apply({"params": params}, x, train=False)[0]  # (M, T, 2)
+    labels = jnp.asarray(
+        np.random.default_rng(5).integers(0, 2, (M, T)), jnp.int32)
+
+    def ce(logits, lbl):  # logits (T, 2), lbl (T,): mean CE
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, lbl[:, None], axis=-1))
+
+    stacked = stack_stage_params(params, S_TOTAL)
+
+    def seq_loss(stk):
+        total = 0.0
+        for m in range(M):
+            l = out0[m]
+            for s in range(R):
+                p = jax.tree.map(lambda a: a[s], stk)
+                l = _stage_apply(p, jax.nn.softmax(l, axis=-1))
+                total += ce(l, labels[m])
+        return total / (M * R)
+
+    def pipe_loss(stk):
+        outs = pipeline_refine(stk, out0, mesh)  # (R, M, T, 2)
+        per = jax.vmap(jax.vmap(ce, in_axes=(0, 0)),
+                       in_axes=(0, None))(outs, labels)
+        return jnp.mean(per)
+
+    ref_l, ref_g = jax.value_and_grad(seq_loss)(stacked)
+    got_l, got_g = jax.jit(jax.value_and_grad(pipe_loss))(
+        shard_stage_params(stacked, mesh))
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_g),
+        jax.tree_util.tree_leaves_with_path(got_g),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa))
