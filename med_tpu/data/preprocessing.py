@@ -243,6 +243,10 @@ def _resize_crop_matrix(n_in: int, n_out: int, lo: int, hi: int) -> np.ndarray:
         eye = jnp.eye(n_in, dtype=jnp.float32)
         m = jax.image.resize(eye, (n_in, n_out), method="bilinear")
         out = np.asarray(m[:, lo:hi])
+    # the cache hands out the SAME array to every caller: freeze it so a
+    # mutating caller gets an immediate error instead of silently corrupting
+    # all subsequent preprocessing
+    out.flags.writeable = False
     return out
 
 

@@ -271,7 +271,7 @@ def _block_xla(x, blk_params, blk_stats, stride: int, dtype):
 
 
 def resnet50_fused_apply(variables, x, *, stage_sizes=(3, 4, 6, 3),
-                         width: int = 64, dtype=jnp.bfloat16,
+                         dtype=jnp.bfloat16,
                          fused_stages=(0, 1), interpret=None):
     """ResNet-50 trunk inference with VMEM-fused stride-1 stages.
 

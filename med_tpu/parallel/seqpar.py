@@ -223,6 +223,13 @@ def make_sp_tecno_train_step(mesh: Mesh, optimizer, *, num_stages: int,
     over ``axis_name``; params/optimizer state are replicated. One psum
     pair for the loss, one grad psum — everything else is shard-local.
     """
+    if dropout_rate not in (0.0, 0.5):
+        # fail at build time, not at the first traced step: the bit-packed
+        # mask scheme (one threefry bit per element) is specialized to the
+        # reference rate 0.5
+        raise NotImplementedError(
+            f"SP dropout supports rate 0.5 (reference) or 0.0, got "
+            f"{dropout_rate}")
     pspec = P(axis_name)
 
     def local_value_and_grad(params, x, labels, mask, masks):
@@ -243,9 +250,6 @@ def make_sp_tecno_train_step(mesh: Mesh, optimizer, *, num_stages: int,
                 channels=channels)
             masks = lax.with_sharding_constraint(
                 masks, NamedSharding(mesh, P(None, None, axis_name)))
-        elif dropout_rate > 0.0:
-            raise NotImplementedError("SP dropout is specialized to the "
-                                      "reference rate 0.5 (one bit/element)")
         loss, grads = jax.shard_map(
             local_value_and_grad,
             mesh=mesh,

@@ -50,21 +50,45 @@ from .seqpar import seq_shift_right
 def halo_left(x: jnp.ndarray, width: int, axis_name: str,
               fill_row: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(T_local, d) block -> (width, d): the last ``width`` global rows
-    BEFORE this shard (one ppermute). Shard 0 receives ``fill_row``
-    broadcast (or zeros) — the global left edge. Requires width <= T_local
-    (one neighbor)."""
+    BEFORE this shard. Rows left of the global edge receive ``fill_row``
+    broadcast (or zeros).
+
+    The common case (width <= T_local) is ONE ppermute of the local tail.
+    A wider halo — many shards over a short trial — spans K = ceil(width /
+    T_local) left neighbors: K full-block ppermute hops, concatenated and
+    sliced (out-of-range shards contribute ppermute's implicit zeros, then
+    the per-row edge fill overwrites the rows left of global zero)."""
     n = lax.axis_size(axis_name)
-    if width > x.shape[0]:
-        raise ValueError(f"halo {width} > local length {x.shape[0]}")
-    tail = x[-width:]
-    if n > 1:
-        h = lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(n - 1)])
-    else:
-        h = jnp.zeros_like(tail)
-    if fill_row is not None:
-        edge = jnp.broadcast_to(fill_row, h.shape)
-        h = jnp.where(lax.axis_index(axis_name) == 0, edge, h)
-    return h
+    S = x.shape[0]
+    if width <= S:
+        tail = x[-width:]
+        if n > 1:
+            h = lax.ppermute(tail, axis_name,
+                             [(i, i + 1) for i in range(n - 1)])
+        else:
+            h = jnp.zeros_like(tail)
+        if fill_row is not None:
+            edge = jnp.broadcast_to(fill_row, h.shape)
+            h = jnp.where(lax.axis_index(axis_name) == 0, edge, h)
+        return h
+
+    # multi-hop: blocks from shards i-K .. i-1 cover [i*S - K*S, i*S)
+    K = -(-width // S)
+    blocks = []
+    for hop in range(K, 0, -1):
+        if hop >= n:
+            blocks.append(jnp.zeros_like(x))
+            continue
+        perm = [(i, i + hop) for i in range(n - hop)]
+        blocks.append(lax.ppermute(x, axis_name, perm))
+    h = jnp.concatenate(blocks, axis=0)[K * S - width:]
+    # rows before global position 0: row r of the halo is global row
+    # i*S - width + r, invalid while r < width - i*S
+    invalid = (jnp.arange(width) <
+               width - lax.axis_index(axis_name) * S)[:, None]
+    edge = (jnp.broadcast_to(fill_row, h.shape) if fill_row is not None
+            else jnp.zeros_like(h))
+    return jnp.where(invalid, edge, h)
 
 
 # ---------------------------------------------------------------------------

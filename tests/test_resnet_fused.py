@@ -91,7 +91,7 @@ def test_fused_apply_matches_flax_trunk(small_trunk, rng):
     ref = np.asarray(trunk.apply(variables, x, train=False), np.float32)
     got = np.asarray(
         resnet50_fused_apply(variables, x, stage_sizes=(2, 2, 1, 1),
-                             width=8, dtype=jnp.float32, fused_stages=(0, 1),
+                             dtype=jnp.float32, fused_stages=(0, 1),
                              interpret=True), np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-5, rel

@@ -62,6 +62,33 @@ def test_sp_cog_forward_matches_single_chip(mesh, cog):
             err_msg=f"track {i}")
 
 
+@pytest.mark.parametrize("width", [5, 32, 48, 80])
+def test_halo_left_multi_hop(mesh, width):
+    """halo_left at any width (incl. > T_local, spanning several left
+    neighbors): shard i's halo equals global rows [i*S - w, i*S), with the
+    fill row where the global index is negative."""
+    from med_tpu.parallel.sp_cog import halo_left
+
+    n = int(mesh.shape["data"])
+    S = 32
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n * S, 4)), jnp.float32)
+    fill = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+
+    got = jax.jit(jax.shard_map(
+        lambda b: halo_left(b, width, "data", fill_row=fill),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+    ))(x)
+    got = np.asarray(got).reshape(n, width, 4)
+
+    xp = np.concatenate(
+        [np.broadcast_to(np.asarray(fill), (width, 4)), np.asarray(x)])
+    for i in range(n):
+        np.testing.assert_allclose(
+            got[i], xp[i * S : i * S + width], rtol=1e-6,
+            err_msg=f"shard {i}")
+
+
 def test_sp_cog_loss_and_grads_match_single_chip(mesh, cog):
     model, variables, x, labels = cog
     constants = variables["constants"]
