@@ -29,6 +29,54 @@ def _load_fold_dump(runs_root, run_id, setting, out):
         return json.load(f)
 
 
+def _serve(args, folds):
+    """Live fused ensemble inference (eval/serving.py::EnsembleServer):
+    both member forwards + the soft-vote rule compile to ONE program, the
+    window batch sharded over the mesh 'data' axis. Re-runs the members
+    from their stored checkpoints instead of re-scoring stored probs."""
+    from ..config import ExperimentConfig
+    from ..data.datasets import build_window_fold
+    from ..eval.ensemble import score_predictions
+    from ..eval.serving import load_ensemble
+    from .common import mesh_from_args
+
+    if args.mode != "soft_vote":
+        raise SystemExit("--serve supports soft_vote (binary members)")
+    mesh = mesh_from_args(args)
+    if mesh is not None:
+        print(f"serving mesh: {dict(mesh.shape)}")
+    run_dir = RunTracker.find_run(args.runs_root, args.run_a)
+    with open(os.path.join(run_dir, "params.json")) as f:
+        params = json.load(f)
+    cfg = ExperimentConfig(**{k: v for k, v in params.items()
+                              if k in ExperimentConfig.__dataclass_fields__})
+    f1s, accs, weights = [], [], []
+    for out in folds:
+        server = load_ensemble(
+            args.runs_root, [args.run_a, args.run_b], args.setting, out,
+            mode="soft_vote", mesh=mesh)
+        _, test_fold = build_window_fold(
+            os.path.join(args.data_root, out), cfg, None)
+        imgs = np.asarray(test_fold.images, np.float32)
+        kins = np.asarray(test_fold.kinematics, np.float32)
+        n = len(test_fold)
+        if mesh is not None:  # pad to the data-axis multiple for DP
+            q = int(mesh.shape["data"])
+            padn = (-n) % q
+            if padn:
+                imgs = np.pad(imgs, ((0, padn), (0, 0), (0, 0)))
+                kins = np.pad(kins, ((0, padn), (0, 0), (0, 0)))
+        preds, _ = server.predict(imgs, kins)
+        preds = np.asarray(preds)[:n]
+        labels = np.asarray(test_fold.labels_for("global"))
+        m, _ = score_predictions(labels, preds, 2, "binary")
+        f1s.append(m["f1"]); accs.append(m["accuracy"]); weights.append(n)
+        print(f"[{out}] serve f1={m['f1']:.3f} acc={m['accuracy']:.3f}")
+    for name, vals in [("F1", f1s), ("Accuracy", accs)]:
+        mu, sd = weighted_mean_std(vals, weights)
+        print(f"serve soft_vote binary {name}: {mu:.3f} ± {sd:.3f}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--runs-root", default="runs")
@@ -39,9 +87,20 @@ def main(argv=None):
                    help="binary run (video model / binary stage)")
     p.add_argument("--run-b", required=True,
                    help="binary run (kinematics model) or multiclass run")
+    p.add_argument("--serve", action="store_true", default=False,
+                   help="live fused inference from the stored checkpoints "
+                        "(eval/serving.py) instead of offline re-scoring")
+    p.add_argument("--data-root", default=None,
+                   help="fold data for --serve")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for --serve ('auto' or 'N,M')")
     args = p.parse_args(argv)
 
     folds = [f for f in args.folds.split(",") if f]
+    if args.serve:
+        if not args.data_root:
+            raise SystemExit("--serve needs --data-root")
+        return _serve(args, folds)
     dumps_a = {o: _load_fold_dump(args.runs_root, args.run_a, args.setting, o)
                for o in folds}
     dumps_b = {o: _load_fold_dump(args.runs_root, args.run_b, args.setting, o)

@@ -120,7 +120,8 @@ def _packed_kv(kernel, x, n_heads):
                       kernel.reshape(d, n_heads, -1))
 
 
-def _encoder_layer(p, text, visual_seq, *, window, m, n_heads, use_pallas):
+def _encoder_layer(p, text, visual_seq, *, window, m, n_heads, use_pallas,
+                   interpret=None):
     """COGEncoderLayer on a local block: text (d, T_local*M) feature-major,
     visual_seq (T_local + window - 1, d) halo-prepended."""
     q_in = _ln_d(p["norm1"], text)
@@ -131,7 +132,7 @@ def _encoder_layer(p, text, visual_seq, *, window, m, n_heads, use_pallas):
     pad = window - 1
     q = jnp.pad(q, ((0, 0), (0, 0), (pad * m, 0)))
     ctx = sliding_window_attention_packed(
-        q, k, v, window, m, use_pallas)[:, :, pad * m:]
+        q, k, v, window, m, use_pallas, interpret=interpret)[:, :, pad * m:]
     ctx = ctx.reshape(q_in.shape[0], T * m)
     out = _ln0(ctx + q_in)          # unlearned LN (models_COG.py:47)
     out = _ln_d(p["norm3"], out)
@@ -144,7 +145,7 @@ def _encoder_layer(p, text, visual_seq, *, window, m, n_heads, use_pallas):
 
 def sp_cog_transformer(p, gest_embed, x, *, len_q: int, n_heads: int = 8,
                        n_layers: int = 2, axis_name: str = "data",
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, interpret=None):
     """ChainOfGestureTransformer on a T-sharded (T_local, f_dim) block ->
     (T_local, M*d_model). One halo exchange of ``len_q - 1`` normed visual
     rows replaces the single-chip left zero-pad (edge shards receive the
@@ -168,7 +169,7 @@ def sp_cog_transformer(p, gest_embed, x, *, len_q: int, n_heads: int = 8,
     for i in range(n_layers):
         text = _encoder_layer(
             p[f"layer{i}"], text, visual_seq, window=len_q, m=M,
-            n_heads=n_heads, use_pallas=use_pallas)
+            n_heads=n_heads, use_pallas=use_pallas, interpret=interpret)
 
     # final single-head attention over the M text tokens (frame-local)
     pa = p["atten"]
@@ -213,7 +214,7 @@ def _sp_stage(p, x, *, axis_name, use_input_conv=True, ch_keep=None,
 def sp_cog_forward(params, constants, x, *, num_r: int = 3,
                    fast_pool: int = 16, len_q: int = 30,
                    axis_name: str = "data", use_pallas: bool = False,
-                   dropout=None):
+                   interpret=None, dropout=None):
     """COG forward (models/cog.py::COG.__call__; reference
     models_COG.py:482-524) on a T-sharded (T_local, f_dim) block.
 
@@ -230,7 +231,7 @@ def sp_cog_forward(params, constants, x, *, num_r: int = 3,
     dp = dropout or {}
     xx = sp_cog_transformer(
         params["cot"], constants["gest_embed"], x, len_q=len_q,
-        axis_name=axis_name, use_pallas=use_pallas)
+        axis_name=axis_name, use_pallas=use_pallas, interpret=interpret)
 
     # slow path: Basic stage + num_r refinement stages on features
     f, _ = _sp_stage(params["TCN"], xx, axis_name=axis_name,
@@ -301,12 +302,13 @@ def _track_ce_sm(logits, labels_local, *, axis_name):
 def sp_cog_loss(params, constants, x, labels, *, num_r: int = 3,
                 fast_pool: int = 16, len_q: int = 30, smooth_lambda: float = 0.15,
                 axis_name: str = "data", use_pallas: bool = False,
-                dropout=None):
+                interpret=None, dropout=None):
     """Track-averaged CE + λ·smoothing over all 2·(1+num_r) tracks
     (engine.py _loss_for_family 'cog'); labels (T_local,) sharded like x."""
     out_list = sp_cog_forward(
         params, constants, x, num_r=num_r, fast_pool=fast_pool, len_q=len_q,
-        axis_name=axis_name, use_pallas=use_pallas, dropout=dropout)
+        axis_name=axis_name, use_pallas=use_pallas, interpret=interpret,
+        dropout=dropout)
     ce_total, sm_total = 0.0, 0.0
     fast_labels = labels[::fast_pool]
     for track in out_list:
@@ -316,6 +318,72 @@ def sp_cog_loss(params, constants, x, labels, *, num_r: int = 3,
         sm_total += sm
     n = len(out_list)
     return ce_total / n + smooth_lambda * (sm_total / n)
+
+
+def _track_ce_sm_masked(logits, labels_local, mask_local, *, axis_name,
+                        class_weights=None):
+    """One track's (CE, smoothing) with an arbitrary per-position mask over
+    GLOBAL track length — the general form of engine losses
+    (losses.py::cog_track_loss / cross_entropy / smooth_loss) under SP:
+
+    - CE: sum(per·w)/sum(w) with w = mask (or class_weights[label]·mask),
+      psum pair;
+    - truncated-MSE smoothing over pairs (t-1, t) with pair mask
+      m_t · m_{t-1}; the shifted mask arrives by the same distributed shift
+      as the detached previous frame, so the global t=0 pair is excluded
+      automatically (the shift fills zeros)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per = -jnp.take_along_axis(
+        logp, labels_local.astype(jnp.int32)[:, None], axis=-1)[:, 0]
+    m = mask_local.astype(logp.dtype)
+    w = m if class_weights is None else (
+        jnp.asarray(class_weights)[labels_local.astype(jnp.int32)] * m)
+    ce = (lax.psum(jnp.sum(per * w), axis_name)
+          / jnp.maximum(lax.psum(jnp.sum(w), axis_name), 1e-12))
+
+    prev = seq_shift_right(lax.stop_gradient(logp), 1, axis_name)
+    m_prev = seq_shift_right(m, 1, axis_name)
+    pairm = m * m_prev
+    sq = jnp.clip(jnp.square(logp - prev), 0.0, 16.0)
+    num = lax.psum(jnp.sum(jnp.mean(sq, axis=-1) * pairm), axis_name)
+    den = lax.psum(jnp.sum(pairm), axis_name)
+    return ce, num / jnp.maximum(den, 1e-12)
+
+
+def sp_cog_loss_masked(params, constants, x, track_labels_full,
+                       track_mask_full, track_labels_fast, track_mask_fast,
+                       *, num_r: int = 3, fast_pool: int = 16,
+                       len_q: int = 30, smooth_lambda: float = 0.15,
+                       class_weights=None, axis_name: str = "data",
+                       use_pallas: bool = False, interpret=None,
+                       dropout=None):
+    """The engine's full COG objective (engine.py::_loss_for_family 'cog' +
+    _cog_sequential_loss) under SP, with padded trials / true_len < T and
+    every label regime.
+
+    The per-track resampled labels and validity/gate masks are data — fixed
+    per trial — so they are prepared ONCE outside the step
+    (sp_train.py::_track_targets replicates losses.nearest_resample_dynamic
+    + the true_out valid window + the sequential gate resample exactly) and
+    arrive here as T-sharded blocks: all (1 + num_r) slow tracks share
+    (track_labels_full, track_mask_full), all fast tracks the _fast pair.
+    Returns (loss, out_list)."""
+    out_list = sp_cog_forward(
+        params, constants, x, num_r=num_r, fast_pool=fast_pool, len_q=len_q,
+        axis_name=axis_name, use_pallas=use_pallas, interpret=interpret,
+        dropout=dropout)
+    ce_total, sm_total = 0.0, 0.0
+    for track in out_list:
+        full = track.shape[0] == track_labels_full.shape[0]
+        lbl = track_labels_full if full else track_labels_fast
+        msk = track_mask_full if full else track_mask_fast
+        ce, sm = _track_ce_sm_masked(track, lbl, msk, axis_name=axis_name,
+                                     class_weights=class_weights)
+        ce_total += ce
+        sm_total += sm
+    n = len(out_list)
+    loss = ce_total / n + smooth_lambda * (sm_total / n)
+    return loss, out_list
 
 
 # ---------------------------------------------------------------------------

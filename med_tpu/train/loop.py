@@ -557,6 +557,7 @@ def train_frame_fold(
     gates: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
     tag: str = "",
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Frame-level training (TeCNo / TransSVNet / COG, batch = one trial).
 
@@ -564,6 +565,12 @@ def train_frame_fold(
     sequential stage-2 regimes (binary-stage predictions / true labels).
     ``resume``: restore the fold's ``last_state_<tag>`` snapshot and
     continue from the next epoch (same contract as the window families).
+    ``mesh``: data-parallel trials — the TrainState and every stacked
+    trial-group batch are placed over the mesh 'data' axis
+    (parallel/mesh.py) and pjit inserts the grad all-reduce; numbers are
+    identical to the single-device loop (the per-trial losses/grads are
+    averaged either way). Used by the ``--trial-dp`` CLI flag; requires
+    the plain per-epoch loop (fused_epoch off).
     """
     exp = exp or Experiment(cfg)
     average = "binary" if cfg.error_type == "global" else "macro"
@@ -629,6 +636,14 @@ def train_frame_fold(
         state, start_epoch = load_train_state(resume_path, state)
         print(f"[{tag}] resumed at epoch {start_epoch}")
 
+    if mesh is not None:
+        from ..parallel.mesh import shard_state
+
+        if cfg.fused_epoch or cfg.fused_run:
+            raise ValueError("mesh trial-DP uses the per-epoch loop; set "
+                             "fused_epoch/fused_run False")
+        state = shard_state(state, mesh)
+
     # fused epochs: every trial stacked at the common bucket, one program
     # per epoch / one per eval pass (bit-exact vs the per-trial loop)
     fused = fused_eval = None
@@ -673,6 +688,10 @@ def train_frame_fold(
                     _device_batch(make_batch(train_trials[i], "train"))
                     for i in order
                 )
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch_iter = (shard_batch(b, mesh) for b in batch_iter)
             for batch in prefetch_to_device(batch_iter, depth=cfg.prefetch_depth):
                 state, m = exp.train_step(state, batch)
                 cms.append(m["cm"])
@@ -684,7 +703,7 @@ def train_frame_fold(
 
         ev = evaluate_frame_fold(cfg, exp, state, test_trials, gates,
                                  common_bucket=common_bucket,
-                                 fused_eval=fused_eval)
+                                 fused_eval=fused_eval, mesh=mesh)
         row = {
             "epoch": epoch,
             "train_loss": train_loss,
@@ -783,7 +802,8 @@ def _train_frame_fold_fused_run(cfg, exp, state, test_trials, train_batches,
 
 
 def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
-                        common_bucket=None, fused_eval=None) -> Dict:
+                        common_bucket=None, fused_eval=None,
+                        mesh=None) -> Dict:
     average = "binary" if cfg.error_type == "global" else "macro"
     preds, probs, labels, gests, subjects, cms, losses = [], [], [], [], [], [], []
     raw_labels = []
@@ -837,6 +857,10 @@ def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
                 for k in batches[0] if not k.startswith("_")
             }
             stacked["trial_weight"] = np.asarray(weights, np.float32)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                stacked = shard_batch(stacked, mesh)
             t0 = time.time()
             m = exp.eval_step(state, stacked)
             jax.block_until_ready(m["preds"])
@@ -850,8 +874,13 @@ def evaluate_frame_fold(cfg, exp, state, test_trials, gates=None,
     else:
         for trial in test_trials:
             batch = one_batch(trial)
+            dev_batch = _device_batch(batch)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                dev_batch = shard_batch(dev_batch, mesh)
             t0 = time.time()
-            m = exp.eval_step(state, _device_batch(batch))
+            m = exp.eval_step(state, dev_batch)
             jax.block_until_ready(m["preds"])
             t_infer += time.time() - t0
             n_frames += record(trial, batch, m["preds"], m["probs"])

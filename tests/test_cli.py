@@ -104,6 +104,105 @@ def test_frame_cli_and_ensemble(data_root, tmp_path, capsys):
     assert "soft_vote binary F1" in out
 
 
+@pytest.fixture(scope="module")
+def two_fold_root(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("data2")
+    for i, out in enumerate(("1Out", "2Out")):
+        fold = make_synth_fold(root, rng, n_trials=3 + i,
+                               frames_per_trial=140)
+        os.rename(fold, root / out)
+    return str(root)
+
+
+def test_fold_parallel_cli_matches_sequential(two_fold_root, tmp_path):
+    """--fold-parallel --mesh: both LOSO folds trained as ONE sharded
+    program produce the same artifacts as the sequential driver (pred
+    agreement / metric tolerance as test_parallel.py — vmapped matmuls
+    reduce in a different order, fp32 noise compounds over Adam steps)."""
+    runs = str(tmp_path / "runs")
+    folds = "1Out,2Out"
+
+    def run(extra):
+        p = base_parser("t")
+        args = p.parse_args(
+            ["--data-root", two_fold_root, "--folds", folds,
+             "--runs-root", runs, "--n-epochs", "2", "--batch-size", "32",
+             *extra])
+        cfg = config_from_args(args, error_type="global",
+                               dataset_type="window", out_features=1)
+        return run_window_folds(args, cfg)
+
+    res_seq, _ = run(())
+    res_par, tr_par = run(("--fold-parallel", "--mesh", "2,1"))
+
+    for out in ("1Out", "2Out"):
+        a = np.asarray(res_seq[out]["preds"])
+        b = np.asarray(res_par[out]["preds"])
+        assert a.shape == b.shape
+        assert np.mean(a == b) > 0.99
+        assert res_par[out]["test_f1"] == pytest.approx(
+            res_seq[out]["test_f1"], abs=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(res_par[out]["cm"]), np.asarray(res_seq[out]["cm"]),
+            atol=max(2, 0.01 * a.size))
+        tag = f"LOSO_{out}"
+        assert os.path.exists(
+            os.path.join(tr_par.dir, "checkpoints", f"best_model_{tag}.npz"))
+        assert os.path.exists(
+            os.path.join(tr_par.dir, "artifacts", f"best_model_{tag}.json"))
+    assert os.path.exists(os.path.join(tr_par.dir, "artifacts",
+                                       "summary.json"))
+
+
+def test_trial_dp_cli_matches_single_device(data_root, tmp_path):
+    """--trial-dp --mesh: the stacked trial_batch axis sharded over the
+    mesh 'data' axis reproduces the single-device per-epoch loop."""
+    runs = str(tmp_path / "runs")
+
+    def run(extra):
+        p = base_parser("t")
+        args = p.parse_args(
+            ["--data-root", data_root, "--folds", "1Out",
+             "--runs-root", runs, "--n-epochs", "2", "--batch-size", "32",
+             "--model-name", "TeCNo", "--data-type", "kinematics",
+             "--mstcn-layers", "3", "--mstcn-f-maps", "8",
+             "--trial-batch", "2", "--no-fused-epoch", "--no-fused-run",
+             *extra])
+        cfg = config_from_args(args, error_type="global",
+                               dataset_type="frame", out_features=2,
+                               batch_size=1)
+        return run_frame_folds(args, cfg)
+
+    res_seq, _ = run(())
+    res_dp, _ = run(("--trial-dp", "--mesh", "2,1"))
+    a = np.asarray(res_seq["1Out"]["preds"])
+    b = np.asarray(res_dp["1Out"]["preds"])
+    assert a.shape == b.shape
+    assert np.mean(a == b) > 0.99
+    assert res_dp["1Out"]["test_f1"] == pytest.approx(
+        res_seq["1Out"]["test_f1"], abs=5e-3)
+
+
+def test_serve_cli_on_mesh(data_root, tmp_path, capsys):
+    """--serve: live fused soft-vote ensemble from stored checkpoints with
+    the window batch sharded over the mesh (eval/serving.py mesh path)."""
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs)
+    cfg = config_from_args(args, error_type="global", dataset_type="window",
+                           out_features=1)
+    _, tr = run_window_folds(args, cfg)
+    capsys.readouterr()
+    cli_ensemble.main(
+        ["--runs-root", runs, "--folds", "1Out", "--mode", "soft_vote",
+         "--run-a", tr.run_id, "--run-b", tr.run_id,
+         "--serve", "--data-root", data_root, "--mesh", "4,2"])
+    out = capsys.readouterr().out
+    assert "serving mesh" in out
+    assert "serve soft_vote binary F1" in out
+
+
 def test_siamese_cli(data_root, tmp_path):
     runs = str(tmp_path / "runs")
     p = base_parser("t")
