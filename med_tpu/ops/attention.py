@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -433,6 +434,20 @@ def _swa_packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, window, tile,
         s_ref[h] = jnp.concatenate([lse, rsum], axis=0).astype(s_ref.dtype)
 
 
+def _vma_of(*xs):
+    """Union of the shard_map varying-manual-axes of the inputs (empty when
+    not under shard_map). pallas_call outputs must declare their VMA when
+    check_vma=True shard_map traces the kernel (the out ShapeDtypeStructs
+    carry it)."""
+    out = frozenset()
+    for x in xs:
+        try:
+            out = out | jax.typeof(x).vma
+        except Exception:
+            pass
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("window", "m", "tile", "interpret",
                                              "return_stats"))
 def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int = 128,
@@ -454,12 +469,13 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
 
+    vma = _vma_of(q, k, v)
     out, stats = pl.pallas_call(
         functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m,
                           kh=halo),
         out_shape=(
-            jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype),
-            jax.ShapeDtypeStruct((H, 2, Tp * m), jnp.float32),
+            jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype, vma=vma),
+            jax.ShapeDtypeStruct((H, 2, Tp * m), jnp.float32, vma=vma),
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -611,14 +627,15 @@ def sliding_window_attention_packed_bwd(q, k, v, g, out, stats, window: int,
     if pltpu is not None and not interpret:
         cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
+    vma = _vma_of(q, k, v, g, out, stats)
     dq, dk_out, dv_out = pl.pallas_call(
         functools.partial(_swa_packed_bwd_kernel, window=window, tile=tile, m=m,
                           kh=halo, kh_chunk=kh_chunk),
         compiler_params=cparams,
         out_shape=(
-            jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype),
-            jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype),
-            jax.ShapeDtypeStruct((H, Tp, dv_d), v.dtype),
+            jax.ShapeDtypeStruct((H, dk_d, Tp * m), q.dtype, vma=vma),
+            jax.ShapeDtypeStruct((H, Tp, dk_d), k.dtype, vma=vma),
+            jax.ShapeDtypeStruct((H, Tp, dv_d), v.dtype, vma=vma),
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -725,12 +742,31 @@ _swa_packed_ad.defvjp(_swa_packed_fwd_rule, _swa_packed_bwd_rule)
 
 
 def sliding_window_attention_packed(q, k, v, window: int, m: int,
-                                    use_pallas: bool = True):
+                                    use_pallas: bool = True,
+                                    interpret: Optional[bool] = None):
     """Packed-layout dispatch: Pallas on TPU (differentiable via the custom
-    VJP), otherwise converts to head-major and uses the XLA gather path."""
+    VJP), otherwise converts to head-major and uses the XLA gather path.
+    ``interpret=True`` forces the Pallas path in interpret mode off-TPU —
+    used to pin the kernel's shard_map composition on the CPU mesh
+    (tests/test_sp_cog.py)."""
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and on_tpu:
-        return _swa_packed_ad(q, k, v, window, m, False)
+    if use_pallas and (on_tpu or interpret):
+        # under shard_map the inputs may carry DIFFERENT varying-manual-axes
+        # (SP COG layer 0: the text queries are built from replicated
+        # constants while k/v are T-sharded). XLA ops lift mixed operands
+        # with an implicit pvary whose TRANSPOSE is the psum that proves the
+        # upstream param grads replicated; pallas_call does no such lifting,
+        # so do it explicitly or grad inference fails (tpu_sp_smoke.py).
+        vma = _vma_of(q, k, v)
+
+        def lift(x):
+            missing = tuple(vma - _vma_of(x))
+            if not missing:
+                return x
+            return jax.lax.pcast(x, missing, to="varying")
+
+        return _swa_packed_ad(lift(q), lift(k), lift(v), window, m,
+                              bool(interpret) and not on_tpu)
     H, dk, N = q.shape
     q4 = q.transpose(0, 2, 1).reshape(H, N // m, m, dk)
     out = sliding_window_attention_xla(

@@ -129,6 +129,69 @@ def test_sp_cog_loss_and_grads_match_single_chip(mesh, cog):
             err_msg=jax.tree_util.keystr(pa))
 
 
+def test_sp_cog_pallas_kernel_under_shard_map(mesh, cog):
+    """use_pallas=True (interpret mode off-TPU): the PACKED Pallas
+    attention kernel — custom VJP included — composes with shard_map.
+    Forward, loss and gradients match the single-chip model within kernel
+    numerics (the kernel pads T to tile multiples; f32 on CPU).
+
+    check_vma=False: the kernels declare their output VMA
+    (ops/attention.py::_vma_of) which real lowering needs, but the
+    INTERPRET-mode HLO interpreter still trips on mixed-VMA dynamic_slice
+    inside the discharged kernel jaxpr — a JAX limitation whose suggested
+    workaround is exactly this flag (the real-TPU mesh-of-1 smoke runs
+    with full VMA checking, scripts/tpu_sp_smoke.py).
+
+    Disabling VMA changes shard_map's grad-accumulation semantics for ANY
+    body (the loss psum's transpose no longer auto-sums cotangents:
+    measured 0.09 max grad diff for the pure-XLA body too), so gradients
+    are pinned pallas-vs-XLA under the SAME check_vma=False shard_map —
+    isolating exactly the kernel composition — while
+    test_sp_cog_loss_and_grads_match_single_chip closes the XLA-vs-ref
+    link with full VMA checking."""
+    model, variables, x, labels = cog
+    constants = variables["constants"]
+    ref_out, _ = model.apply(variables, x, train=False)
+
+    fwd = functools.partial(
+        sp_cog_forward, num_r=NUM_R, len_q=LEN_Q, axis_name="data",
+        use_pallas=True, interpret=True)
+    got = jax.jit(jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=[P("data")] * len(ref_out), check_vma=False,
+    ))(variables["params"], constants, x[0])
+    for i, (a, b) in enumerate(zip(ref_out, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a)[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"track {i}")
+
+    def run(use_pallas, interpret):
+        def local(params, consts, xs, ys):
+            return jax.value_and_grad(sp_cog_loss)(
+                params, consts, xs, ys, num_r=NUM_R, len_q=LEN_Q,
+                smooth_lambda=SMOOTH, axis_name="data",
+                use_pallas=use_pallas, interpret=interpret)
+
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), P()), check_vma=False,
+        ))(variables["params"], constants, x[0],
+           shard_sequence(labels, mesh))
+
+    pallas_l, pallas_g = run(True, True)
+    xla_l, xla_g = run(False, None)
+    np.testing.assert_allclose(float(pallas_l), float(xla_l), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(xla_g),
+        jax.tree_util.tree_leaves_with_path(pallas_g),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa))
+
+
 def test_sp_cog_train_step_learns(mesh, cog):
     """Full SP COG training: dropout masks generated globally + sharded,
     Adam on the replicated params; the loss decreases."""
