@@ -121,3 +121,50 @@ def shard_stage_params(stacked_params, mesh: Mesh, axis_name: str = "data"):
         return jax.device_put(
             x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))))
     return jax.tree.map(put, stacked_params)
+
+
+def make_pp_tecno_train_step(mesh: Mesh, optimizer,
+                             axis_name: str = "data"):
+    """Pipelined TeCNo TRAINING step: the multi-stage objective of
+    reference ``models_TCN.py:17-101`` / ``modeling_utils.py:278-297``
+    driven through the pipeline schedule, with an optimizer update from the
+    stage-sharded gradients.
+
+    - stage 0 runs replicated over the M microbatch trials (its params are
+      small and every microbatch needs it first — the natural DP tier);
+    - stages 1..R stream through :func:`pipeline_refine`; ``jax.grad``
+      transposes the rotation, so gradients arrive SHARDED per stage,
+      exactly like the params — the optimizer update is shard-local;
+    - the loss is the reference's stage-averaged soft CE over ALL stages
+      (train/losses.py::tecno_stage_loss), so every (stage, microbatch)
+      logit the pipeline emits is consumed.
+
+    Dropout stays off inside the pipeline (module docstring); parity with
+    the sequential dropout-free train step is pinned by
+    tests/test_pipeline.py::test_pp_train_step_matches_sequential.
+
+    step(stage0, stacked, opt0, opt_r, x, labels, mask) ->
+    (stage0, stacked, opt0, opt_r, loss): ``stage0`` the stage-0 tree
+    (replicated), ``stacked`` the (R, ...) refinement trees sharded via
+    :func:`shard_stage_params`, ``x`` (M, T, C_in), labels/mask (M, T).
+    """
+    import optax
+
+    from ..train.losses import tecno_stage_loss
+
+    def loss_fn(stage0, stacked, x, labels, mask):
+        out0 = jax.vmap(functools.partial(_stage_apply, stage0))(x)
+        outs = pipeline_refine(stacked, out0, mesh, axis_name)
+        logits = jnp.concatenate([out0[None], outs], axis=0)  # (S, M, T, C)
+        return tecno_stage_loss(logits, labels, mask)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step(stage0, stacked, opt0, opt_r, x, labels, mask):
+        loss, (g0, gr) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(stage0, stacked, x, labels, mask)
+        u0, opt0 = optimizer.update(g0, opt0, stage0)
+        ur, opt_r = optimizer.update(gr, opt_r, stacked)
+        return (optax.apply_updates(stage0, u0),
+                optax.apply_updates(stacked, ur), opt0, opt_r, loss)
+
+    return step

@@ -102,3 +102,61 @@ def test_pipeline_grads_match_sequential(mesh, tecno):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-7,
             err_msg=jax.tree_util.keystr(pa))
+
+
+def test_pp_train_step_matches_sequential(mesh, tecno):
+    """The pipelined TRAIN step (stage-0 replicated + stages 1..R on the
+    pipeline, Adam on the stage-sharded grads) reproduces the sequential
+    single-device step on the same dropout-free objective: per-step losses
+    and the updated params after 2 Adam steps."""
+    import optax
+
+    from med_tpu.parallel.pipeline import make_pp_tecno_train_step
+    from med_tpu.train.losses import tecno_stage_loss
+
+    model, params, x = tecno
+    rng = np.random.default_rng(5)
+    labels = jnp.asarray(rng.integers(0, 2, (M, T)), jnp.int32)
+    mask = jnp.asarray((rng.random((M, T)) < 0.9).astype(np.float32))
+    tx = optax.adam(1e-3)
+
+    def ref_loss(p):
+        outs = model.apply({"params": p}, x, train=False)  # (S, M, T, 2)
+        return tecno_stage_loss(outs, labels, mask)
+
+    @jax.jit
+    def ref_step(p, o):
+        loss, g = jax.value_and_grad(ref_loss)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    ref_params, ref_opt = params, tx.init(params)
+    ref_losses = []
+    for _ in range(2):
+        ref_params, ref_opt, rl = ref_step(ref_params, ref_opt)
+        ref_losses.append(float(rl))
+
+    stage0 = params["stage0"]
+    stacked = shard_stage_params(stack_stage_params(params, S_TOTAL), mesh)
+    opt0, opt_r = tx.init(stage0), tx.init(stacked)
+    step = make_pp_tecno_train_step(mesh, tx)
+    pp_losses = []
+    for _ in range(2):
+        stage0, stacked, opt0, opt_r, loss = step(
+            stage0, stacked, opt0, opt_r, x, labels, mask)
+        pp_losses.append(float(loss))
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-6)
+
+    def cmp(ref_tree, got_tree, tag):
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_tree),
+            jax.tree_util.tree_leaves_with_path(got_tree),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                err_msg=tag + jax.tree_util.keystr(pa))
+
+    cmp(ref_params["stage0"], stage0, "stage0")
+    for s in range(1, S_TOTAL):
+        cmp(ref_params[f"stage{s}"],
+            jax.tree.map(lambda a: a[s - 1], stacked), f"stage{s}")
