@@ -177,6 +177,34 @@ def test_fused_run_matches_fused_epochs(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_fused_run_loss_mode_with_bucketing(tmp_path, rng):
+    """loss_or_f1='loss' selection with a non-default fold_pad_quantum:
+    the whole-run device score must be the masked mean over the REAL eval
+    steps (surplus bucket steps carry garbage losses), so the fused run
+    picks the same best epoch — with the same test_loss stream — as the
+    per-epoch loop."""
+    fold_dir = make_synth_fold(tmp_path, rng)
+    base = ExperimentConfig(model_name="SimpleCNN", batch_size=32, n_epochs=3,
+                            lr=1e-3, lr_scheduler=True, loss_or_f1="loss",
+                            fold_pad_quantum=512)
+    train_fold, test_fold = build_window_fold(fold_dir, base)
+    # the quantum must actually create surplus (fully-masked) eval steps
+    assert len(test_fold) % 512 != 0 and len(test_fold) < 512
+
+    res_run = train_window_fold(base.replace(fused_run=True),
+                                train_fold, test_fold)
+    res_ep = train_window_fold(
+        base.replace(fused_run=False, fold_pad_quantum=0),
+        train_fold, test_fold)
+
+    assert len(res_run["history"]) == len(res_ep["history"]) == 3
+    for a, b in zip(res_run["history"], res_ep["history"]):
+        assert a["test_loss"] == pytest.approx(b["test_loss"], abs=1e-5)
+    assert res_run["best"]["epoch"] == res_ep["best"]["epoch"]
+    np.testing.assert_array_equal(res_run["best"]["preds"],
+                                  res_ep["best"]["preds"])
+
+
 def test_fold_bucketing_shares_one_compiled_program(tmp_path, rng):
     """Two folds of different window counts inside the same
     fold_pad_quantum bucket reuse ONE compiled whole-run executable (the
