@@ -154,6 +154,36 @@ def main():
     ref_windows_per_sec = 1.0 / 1.04e-3  # BASELINE.md multimodal CNN
     infer_flops = _loop_flops(make_infer_run, batch["images"])
 
+    # ---- trace-derived window-inference MFU: device span of the SAME
+    #      compiled loop from a jax.profiler capture, immune to the relay's
+    #      wall-clock jitter (round-3 VERDICT item 5: the recorded MFU
+    #      wobbled 0.80 -> 0.70 across rounds with only a drift explanation;
+    #      this number pins it) ----
+    window_infer_mfu_trace, window_infer_span_us = -1.0, -1.0
+    if on_tpu and _budget_left():
+        import shutil
+        import tempfile
+
+        from med_tpu.utils.profiling import trace_device_span_s
+
+        TRACE_ITERS = 50
+        logdir = tempfile.mkdtemp(prefix="benchtrace_")
+        try:
+            runner = make_infer_run()
+            jax.block_until_ready(runner(batch["images"], jnp.asarray(5)))
+            jax.profiler.start_trace(logdir)
+            jax.block_until_ready(
+                runner(batch["images"], jnp.asarray(TRACE_ITERS)))
+            jax.profiler.stop_trace()
+            span = trace_device_span_s(logdir)
+        except Exception:
+            span = -1.0
+        finally:
+            shutil.rmtree(logdir, ignore_errors=True)
+        if span > 0:
+            window_infer_span_us = span / TRACE_ITERS * 1e6
+            window_infer_mfu_trace = _mfu(infer_flops, span / TRACE_ITERS)
+
     # ---- window train step (state carry is inherently data-dependent) ----
     t_train = -1.0
     if _budget_left():
@@ -344,6 +374,62 @@ def main():
         e2e_frames_per_sec = NB / t_e2e
         e2e_vs_baseline = e2e_frames_per_sec / ref_cog_frames_per_sec
 
+    # ---- ResNet-50 fine-tune TRAIN step (reference resnet_finetuning.ipynb
+    #      cell 6-7: batch 32, BCE on the binary error label, Adam; our
+    #      driver's on-device augment + normalize included, bf16 trunk on
+    #      TPU). BASELINE.md's "ResNet fine-tune" row is the one reference
+    #      training path without a recorded speedup until now. ----
+    t_rft, rft_flops = -1.0, -1.0
+    if _budget_left():
+        import functools
+
+        import optax
+
+        from med_tpu.data.augment import augment_batch
+        from med_tpu.models.resnet import ResNetClassifier
+        from med_tpu.train.losses import bce_with_logits
+
+        clf = ResNetClassifier(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        RB = 32
+        rimgs = jnp.asarray(rng.normal(size=(RB, 224, 224, 3)) * 60 + 127,
+                            jnp.float32)
+        rlabels = jnp.asarray(rng.integers(0, 2, RB), jnp.float32)
+        rvars = jax.jit(functools.partial(clf.init, train=False))(
+            {"params": jax.random.key(6)}, jnp.zeros((1, 224, 224, 3)))
+        rtx = optax.adam(5e-4)
+
+        def make_rft_run():
+            @jax.jit
+            def run(carry, n):
+                def body(i, c):
+                    params, stats, opt = c
+                    key = jax.random.fold_in(jax.random.key(11), i)
+                    imgs = augment_batch(key, rimgs)
+
+                    def loss_fn(p):
+                        logits, mut = clf.apply(
+                            {"params": p, "batch_stats": stats},
+                            (imgs / 255.0 - 0.45) / 0.22, train=True,
+                            mutable=["batch_stats"],
+                        )
+                        return (bce_with_logits(logits, rlabels),
+                                mut["batch_stats"])
+
+                    (_, new_stats), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
+                    updates, opt2 = rtx.update(grads, opt)
+                    return (optax.apply_updates(params, updates),
+                            new_stats, opt2)
+
+                return jax.lax.fori_loop(0, n, body, carry)
+
+            return run
+
+        rcarry = (rvars["params"], rvars["batch_stats"],
+                  rtx.init(rvars["params"]))
+        t_rft = _timed_loop(make_rft_run, rcarry)
+        rft_flops = _loop_flops(make_rft_run, rcarry)
+
     result = {
         "metric": "window inference throughput (multimodal CNN, batch 512, FE+head on device)",
         "value": round(windows_per_sec, 1),
@@ -370,8 +456,13 @@ def main():
             "e2e_pixels_resnet_head_frames_per_sec": round(e2e_frames_per_sec, 1),
             "e2e_vs_baseline": round(e2e_vs_baseline, 2),
             "e2e_trunk_dtype": str(trunk.dtype.__name__ if hasattr(trunk.dtype, "__name__") else trunk.dtype),
+            "resnet_train_step_ms": round(t_rft * 1e3, 3),
+            "resnet_train_frames_per_sec": round(32 / t_rft, 1) if t_rft > 0 else -1.0,
+            "resnet_train_mfu": round(_mfu(rft_flops, t_rft), 4),
             # fraction of chip peak (v5e bf16 ≈ 197 TFLOP/s unless overridden)
             "window_infer_mfu": round(_mfu(infer_flops, t_infer), 4),
+            "window_infer_mfu_trace": round(window_infer_mfu_trace, 4),
+            "window_infer_span_us_trace": round(window_infer_span_us, 2),
             "cog_infer_mfu": round(_mfu(cog_flops, t_cog), 4),
             "peak_flops_assumed": PEAK_FLOPS,
             "timing": f"two-point slope, best of {REPEATS}, fori_loop({ITERS}) vs fori_loop({5*ITERS})",

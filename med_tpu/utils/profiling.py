@@ -25,6 +25,44 @@ def device_trace(logdir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def trace_device_span_s(trace_dir: str) -> float:
+    """Total busy span (first event start -> last event end, seconds) of the
+    busiest TPU trace line in a jax.profiler xplane capture.
+
+    This is the project's device-trace A/B discipline (CLAUDE.md "Relay
+    slope drift") packaged for bench.py: wall-clock two-point slopes drift
+    ±0.1 ms with the axon relay's mood, but the device span of a fixed
+    compiled program is stable, so trace-derived MFU can't be masked (or
+    faked) by relay jitter. Returns -1.0 if no TPU plane is found or the
+    xplane proto is unavailable.
+    """
+    import glob
+
+    try:
+        try:
+            from xprof.protobuf import xplane_pb2
+        except ImportError:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        return -1.0
+
+    best_ps = -1.0
+    for path in glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if not line.events:
+                    continue
+                s0 = min(ev.offset_ps for ev in line.events)
+                s1 = max(ev.offset_ps + ev.duration_ps for ev in line.events)
+                best_ps = max(best_ps, float(s1 - s0))
+    return best_ps / 1e12 if best_ps > 0 else -1.0
+
+
 class StepTimer:
     """Accumulates device-synchronized step timings."""
 
