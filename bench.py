@@ -404,12 +404,14 @@ def main():
                 def body(i, c):
                     params, stats, opt = c
                     key = jax.random.fold_in(jax.random.key(11), i)
-                    imgs = augment_batch(key, rimgs)
+                    imgs = augment_batch(
+                        key, rimgs,
+                        normalize=(jnp.full((3,), 0.45), jnp.full((3,), 0.22)))
 
                     def loss_fn(p):
                         logits, mut = clf.apply(
                             {"params": p, "batch_stats": stats},
-                            (imgs / 255.0 - 0.45) / 0.22, train=True,
+                            imgs, train=True,
                             mutable=["batch_stats"],
                         )
                         return (bce_with_logits(logits, rlabels),

@@ -97,14 +97,18 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
     @jax.jit
     def train_step(params, batch_stats, opt_state, imgs, labels, mask, key):
         # on-device augmentation (reference image_train_transform:
-        # jitter/rotate/crop/flip, resnet_finetuning.ipynb cell 4)
+        # jitter/rotate/crop/flip, resnet_finetuning.ipynb cell 4) with the
+        # /255 + standardization fused into its channel-first domain
         if args.augment:
-            imgs = augment_batch(key, imgs.astype(jnp.float32))
+            pix = augment_batch(key, imgs.astype(jnp.float32),
+                                normalize=(mean_j, std_j))
+        else:
+            pix = preprocess(imgs)
 
         def loss_fn(p):
             logits, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
-                preprocess(imgs), train=True, mutable=["batch_stats"],
+                pix, train=True, mutable=["batch_stats"],
             )
             return bce_with_logits(logits, labels, mask), mut["batch_stats"]
 
