@@ -49,18 +49,20 @@ def _budget_left() -> bool:
     return time.time() - _T_START < BUDGET_S
 
 
-def _timed_loop(make_run, carry):
+def _timed_loop(make_run, carry, n_lo: int = ITERS, n_hi: int = 5 * ITERS):
     """Marginal per-iteration time of the chained loop via a two-point
     slope: the same compiled program (dynamic trip count) is timed at
-    ITERS and 5*ITERS chained iterations and the slope
-    (t_hi - t_lo) / (4*ITERS) cancels the relay's fixed per-dispatch
+    n_lo and n_hi chained iterations and the slope
+    (t_hi - t_lo) / (n_hi - n_lo) cancels the relay's fixed per-dispatch
     overhead (~100 ms/call on this tunnel — at ITERS=20 that inflated
-    round-1 recorded step times by ~5 ms/iter)."""
+    round-1 recorded step times by ~5 ms/iter). Pass a larger n_hi for
+    millisecond-scale steps: the default 80-iteration span can land inside
+    the relay's dispatch jitter and return a garbage (even negative)
+    slope — BENCH_r04 prep saw tsvn read -0.0 at the default span."""
     import jax
     import jax.numpy as jnp
 
     run = make_run()
-    n_lo, n_hi = ITERS, 5 * ITERS
     lo = jnp.asarray(n_lo)
     hi = jnp.asarray(n_hi)
     carry = jax.block_until_ready(run(carry, lo))  # compile + warm
@@ -330,7 +332,7 @@ def main():
 
             return run
 
-        t_tsvn = _timed_loop(make_tsvn_run, tsvn_state)
+        t_tsvn = _timed_loop(make_tsvn_run, tsvn_state, n_lo=20, n_hi=220)
 
     # ---- end-to-end pixels -> fused preprocess -> ResNet-50 -> features
     #      -> FeatureExtractor -> window head (the BASELINE.json pipeline) ----
