@@ -27,9 +27,15 @@ send/recv loops, no per-stage processes):
   schedule falls out of XLA's autodiff; no hand-written bwd pass. Grads
   arrive sharded per stage like the params.
 
-Dropout is off inside the pipeline (the refinement chain is most often
-frozen or eval; the SP/DP paths cover stochastic training). Exact parity
-with the sequential stage loop is pinned in tests/test_pipeline.py.
+Dropout (reference ``models_TCN.py:104-137``, rate 0.5 after each block's
+conv1x1) is supported through a deterministic key convention: the mask for
+(global stage ``s``, microbatch ``m``) is drawn from
+``fold_in(fold_in(key, s), m)``, so device d can generate exactly its
+stage's masks inside the rotation with no mask traffic, and a sequential
+comparator using the same convention reproduces the pipelined step
+bit-for-bit (tests/test_pipeline.py::test_pp_train_step_dropout_matches_
+sequential). Exact parity with the sequential stage loop is pinned in
+tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -43,9 +49,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _stage_apply(p, x):
-    """SingleStageTCN (models/layers.py) eval forward on one (T, C_in)
-    block: conv1x1 in -> dilated residual stack -> conv1x1 out."""
+def _stage_apply(p, x, dropout_mask=None, keep: float = 1.0):
+    """SingleStageTCN (models/layers.py) forward on one (T, C_in) block:
+    conv1x1 in -> dilated residual stack -> conv1x1 out. ``dropout_mask``
+    (L, T, C) keep-bits applies the reference's post-conv1x1 dropout
+    (models_TCN.py:104-137) with inverted 1/keep scaling — same placement
+    as models/layers.py::ResidualStack."""
     ci = p["conv_in"]["Conv_0"]
     h = x @ ci["kernel"][0] + ci["bias"]
     st = p["stack"]
@@ -57,9 +66,19 @@ def _stage_apply(p, x):
         y = (hp[:T] @ st["w3"][i, 0] + hp[d : d + T] @ st["w3"][i, 1]
              + hp[2 * d : 2 * d + T] @ st["w3"][i, 2] + st["b3"][i])
         y = jax.nn.relu(y) @ st["w1"][i] + st["b1"][i]
+        if dropout_mask is not None:
+            y = y * dropout_mask[i].astype(y.dtype) / keep
         h = h + y
     co = p["conv_out"]["Conv_0"]
     return h @ co["kernel"][0] + co["bias"]
+
+
+def _stage_dropout_mask(key, s, m, L, T, C, rate):
+    """The (L, T, C) keep-mask for (global stage s, microbatch m) — THE
+    pipeline dropout convention: device-local regeneration from the folded
+    key, identical for the pipelined and sequential schedules."""
+    k = jax.random.fold_in(jax.random.fold_in(key, s), m)
+    return jax.random.bernoulli(k, 1.0 - rate, (L, T, C))
 
 
 def stack_stage_params(params, num_stages: int, first: int = 1):
@@ -71,19 +90,24 @@ def stack_stage_params(params, num_stages: int, first: int = 1):
 
 
 def pipeline_refine(stacked_params, logits0, mesh: Mesh,
-                    axis_name: str = "data"):
+                    axis_name: str = "data",
+                    dropout_key=None, dropout_rate: float = 0.0):
     """Run R refinement stages over M microbatches as one pipelined
     program.
 
     stacked_params: per-stage trees stacked (R, ...), R = mesh axis size;
     logits0 (M, T, C): stage-0 output logits per microbatch (trial).
+    dropout_key: optional PRNG key; device d regenerates its own stage's
+    (L, T, C) keep-masks inside the rotation via
+    :func:`_stage_dropout_mask` (global stage d+1, microbatch j-d) — no
+    mask traffic, deterministic across schedules.
     Returns (R, M, T, C): every refinement stage's logits for every
     microbatch (stage r of the chain = global stage ``first + r``).
     """
     R = int(mesh.shape[axis_name])
     M, T, C = logits0.shape
 
-    def worker(p_local, l0):
+    def worker(p_local, l0, kd):
         p = jax.tree.map(lambda a: a[0], p_local)  # (1, ...) -> stage tree
         d = lax.axis_index(axis_name)
         steps = M + R - 1
@@ -94,7 +118,16 @@ def pipeline_refine(stacked_params, logits0, mesh: Mesh,
             # the rotated buffer (stage d-1's logits for microbatch j-d)
             inj = l0[jnp.clip(j, 0, M - 1)]
             inp = jnp.where(d == 0, inj, buf)
-            out = _stage_apply(p, jax.nn.softmax(inp, axis=-1))
+            x = jax.nn.softmax(inp, axis=-1)
+            if kd is None:
+                out = _stage_apply(p, x)
+            else:
+                st = p["stack"]
+                mask = _stage_dropout_mask(
+                    jax.random.wrap_key_data(kd), d + 1,
+                    jnp.clip(j - d, 0, M - 1), st["w3"].shape[0], T,
+                    st["w1"].shape[-1], dropout_rate)
+                out = _stage_apply(p, x, mask, 1.0 - dropout_rate)
             nxt = lax.ppermute(out, axis_name, perm) if R > 1 else out
             return nxt, out
 
@@ -105,10 +138,18 @@ def pipeline_refine(stacked_params, logits0, mesh: Mesh,
         _, outs = lax.scan(body, buf0, jnp.arange(steps))
         return outs[None]  # (1, steps, T, C) -> gathered (R, steps, T, C)
 
-    outs = jax.shard_map(
-        worker, mesh=mesh,
-        in_specs=(P(axis_name), P()), out_specs=P(axis_name),
-    )(stacked_params, logits0)
+    if dropout_key is None:
+        outs = jax.shard_map(
+            functools.partial(worker, kd=None), mesh=mesh,
+            in_specs=(P(axis_name), P()), out_specs=P(axis_name),
+        )(stacked_params, logits0)
+    else:
+        # the raw key words ride in replicated (extended PRNG dtypes and
+        # shard_map specs don't mix); re-wrapped device-side
+        outs = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(axis_name), P(), P()), out_specs=P(axis_name),
+        )(stacked_params, logits0, jax.random.key_data(dropout_key))
     # device (stage) s's step-(m+s) output is microbatch m's stage-s logits
     idx = jnp.arange(M)[None, :] + jnp.arange(R)[:, None]  # (R, M)
     return jnp.take_along_axis(
@@ -124,7 +165,8 @@ def shard_stage_params(stacked_params, mesh: Mesh, axis_name: str = "data"):
 
 
 def make_pp_tecno_train_step(mesh: Mesh, optimizer,
-                             axis_name: str = "data"):
+                             axis_name: str = "data",
+                             dropout_rate: float = 0.0):
     """Pipelined TeCNo TRAINING step: the multi-stage objective of
     reference ``models_TCN.py:17-101`` / ``modeling_utils.py:278-297``
     driven through the pipeline schedule, with an optimizer update from the
@@ -139,11 +181,15 @@ def make_pp_tecno_train_step(mesh: Mesh, optimizer,
       (train/losses.py::tecno_stage_loss), so every (stage, microbatch)
       logit the pipeline emits is consumed.
 
-    Dropout stays off inside the pipeline (module docstring); parity with
-    the sequential dropout-free train step is pinned by
-    tests/test_pipeline.py::test_pp_train_step_matches_sequential.
+    ``dropout_rate > 0`` applies the reference's training dropout through
+    the per-(stage, microbatch) key convention (module docstring): the
+    returned step then takes a trailing PRNG ``key`` argument, and
+    equality with a sequential comparator drawing the same masks is pinned
+    by tests/test_pipeline.py::test_pp_train_step_dropout_matches_
+    sequential. At rate 0 the signature (and parity,
+    ::test_pp_train_step_matches_sequential) is unchanged.
 
-    step(stage0, stacked, opt0, opt_r, x, labels, mask) ->
+    step(stage0, stacked, opt0, opt_r, x, labels, mask[, key]) ->
     (stage0, stacked, opt0, opt_r, loss): ``stage0`` the stage-0 tree
     (replicated), ``stacked`` the (R, ...) refinement trees sharded via
     :func:`shard_stage_params`, ``x`` (M, T, C_in), labels/mask (M, T).
@@ -152,19 +198,41 @@ def make_pp_tecno_train_step(mesh: Mesh, optimizer,
 
     from ..train.losses import tecno_stage_loss
 
-    def loss_fn(stage0, stacked, x, labels, mask):
-        out0 = jax.vmap(functools.partial(_stage_apply, stage0))(x)
-        outs = pipeline_refine(stacked, out0, mesh, axis_name)
+    def loss_fn(stage0, stacked, x, labels, mask, key):
+        if key is None:
+            out0 = jax.vmap(functools.partial(_stage_apply, stage0))(x)
+            outs = pipeline_refine(stacked, out0, mesh, axis_name)
+        else:
+            st = stage0["stack"]
+            L, C = st["w3"].shape[0], st["w1"].shape[-1]
+            M, T = x.shape[0], x.shape[1]
+            masks0 = jax.vmap(lambda m: _stage_dropout_mask(
+                key, 0, m, L, T, C, dropout_rate))(jnp.arange(M))
+            out0 = jax.vmap(lambda xm, mk: _stage_apply(
+                stage0, xm, mk, 1.0 - dropout_rate))(x, masks0)
+            outs = pipeline_refine(stacked, out0, mesh, axis_name,
+                                   dropout_key=key,
+                                   dropout_rate=dropout_rate)
         logits = jnp.concatenate([out0[None], outs], axis=0)  # (S, M, T, C)
         return tecno_stage_loss(logits, labels, mask)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def step(stage0, stacked, opt0, opt_r, x, labels, mask):
+    def _update(stage0, stacked, opt0, opt_r, x, labels, mask, key):
         loss, (g0, gr) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(stage0, stacked, x, labels, mask)
+            loss_fn, argnums=(0, 1))(stage0, stacked, x, labels, mask, key)
         u0, opt0 = optimizer.update(g0, opt0, stage0)
         ur, opt_r = optimizer.update(gr, opt_r, stacked)
         return (optax.apply_updates(stage0, u0),
                 optax.apply_updates(stacked, ur), opt0, opt_r, loss)
+
+    if dropout_rate > 0.0:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def step(stage0, stacked, opt0, opt_r, x, labels, mask, key):
+            return _update(stage0, stacked, opt0, opt_r, x, labels, mask,
+                           key)
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def step(stage0, stacked, opt0, opt_r, x, labels, mask):
+            return _update(stage0, stacked, opt0, opt_r, x, labels, mask,
+                           None)
 
     return step

@@ -115,6 +115,9 @@ def test_pp_train_step_matches_sequential(mesh, tecno):
     from med_tpu.train.losses import tecno_stage_loss
 
     model, params, x = tecno
+    # the pp step donates its param args — work on copies so the
+    # module-scoped fixture tree survives for later tests
+    params = jax.tree.map(jnp.array, params)
     rng = np.random.default_rng(5)
     labels = jnp.asarray(rng.integers(0, 2, (M, T)), jnp.int32)
     mask = jnp.asarray((rng.random((M, T)) < 0.9).astype(np.float32))
@@ -144,6 +147,86 @@ def test_pp_train_step_matches_sequential(mesh, tecno):
     for _ in range(2):
         stage0, stacked, opt0, opt_r, loss = step(
             stage0, stacked, opt0, opt_r, x, labels, mask)
+        pp_losses.append(float(loss))
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-6)
+
+    def cmp(ref_tree, got_tree, tag):
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_tree),
+            jax.tree_util.tree_leaves_with_path(got_tree),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                err_msg=tag + jax.tree_util.keystr(pa))
+
+    cmp(ref_params["stage0"], stage0, "stage0")
+    for s in range(1, S_TOTAL):
+        cmp(ref_params[f"stage{s}"],
+            jax.tree.map(lambda a: a[s - 1], stacked), f"stage{s}")
+
+
+def test_pp_train_step_dropout_matches_sequential(mesh, tecno):
+    """The pipelined train step WITH dropout (rate 0.5, reference
+    models_TCN.py:104-137) equals a sequential comparator drawing the
+    identical per-(stage, microbatch) masks through the key convention
+    (_stage_dropout_mask): losses and updated params after 2 Adam steps."""
+    import optax
+
+    from med_tpu.parallel.pipeline import (
+        _stage_dropout_mask,
+        make_pp_tecno_train_step,
+    )
+    from med_tpu.train.losses import tecno_stage_loss
+
+    model, params, x = tecno
+    params = jax.tree.map(jnp.array, params)  # donation-safe copy
+    R = int(mesh.shape["data"])
+    rng = np.random.default_rng(11)
+    labels = jnp.asarray(rng.integers(0, 2, (M, T)), jnp.int32)
+    mask = jnp.asarray((rng.random((M, T)) < 0.9).astype(np.float32))
+    tx = optax.adam(1e-3)
+    RATE = 0.5
+    L = params["stage0"]["stack"]["w3"].shape[0]
+    C = params["stage0"]["stack"]["w1"].shape[-1]
+
+    def ref_loss(p, key):
+        per_stage = []
+        for m in range(M):
+            l = _stage_apply(p["stage0"], x[m],
+                             _stage_dropout_mask(key, 0, m, L, T, C, RATE),
+                             1.0 - RATE)
+            chain = [l]
+            for s in range(1, S_TOTAL):
+                l = _stage_apply(
+                    p[f"stage{s}"], jax.nn.softmax(l, axis=-1),
+                    _stage_dropout_mask(key, s, m, L, T, C, RATE),
+                    1.0 - RATE)
+                chain.append(l)
+            per_stage.append(jnp.stack(chain))  # (S, T, 2)
+        logits = jnp.stack(per_stage, axis=1)  # (S, M, T, 2)
+        return tecno_stage_loss(logits, labels, mask)
+
+    @jax.jit
+    def ref_step(p, o, key):
+        loss, g = jax.value_and_grad(ref_loss)(p, key)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    keys = [jax.random.key(100 + i) for i in range(2)]
+    ref_params, ref_opt = params, tx.init(params)
+    ref_losses = []
+    for k in keys:
+        ref_params, ref_opt, rl = ref_step(ref_params, ref_opt, k)
+        ref_losses.append(float(rl))
+
+    stage0 = params["stage0"]
+    stacked = shard_stage_params(stack_stage_params(params, S_TOTAL), mesh)
+    opt0, opt_r = tx.init(stage0), tx.init(stacked)
+    step = make_pp_tecno_train_step(mesh, tx, dropout_rate=RATE)
+    pp_losses = []
+    for k in keys:
+        stage0, stacked, opt0, opt_r, loss = step(
+            stage0, stacked, opt0, opt_r, x, labels, mask, k)
         pp_losses.append(float(loss))
     np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-6)
 
