@@ -106,6 +106,18 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
             pix = preprocess(imgs)
 
         def loss_fn(p):
+            if args.freeze_bn:
+                # BN on running stats (torch's trunk.eval() fine-tune
+                # idiom): all params still train, the per-batch stat
+                # passes — measured ~5 ms of the 12.7 ms step, the
+                # bandwidth floor of 53 BN layers' activations — drop out.
+                # OFF by default: the reference fine-tunes with train-mode
+                # BN (resnet_finetuning.ipynb cell 6).
+                logits = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    pix, train=False,
+                )
+                return bce_with_logits(logits, labels, mask), batch_stats
             logits, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 pix, train=True, mutable=["batch_stats"],
@@ -195,6 +207,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--freeze-bn", action="store_true", default=False,
+                   help="BatchNorm uses running statistics during training "
+                        "(torch trunk.eval() idiom); all params still "
+                        "train. Deviates from the reference's train-mode "
+                        "BN — a perf knob, not the parity default")
     p.add_argument("--init-weights", default=None,
                    help="torchvision-format resnet50 weights (.pth/.pt/.npz) "
                         "to start the trunk from (the reference starts from "

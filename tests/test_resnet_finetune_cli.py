@@ -113,6 +113,38 @@ def test_resnet_finetune_with_init_weights(tmp_path, rng):
     assert img.shape == (8, 2048)
 
 
+def test_resnet_finetune_freeze_bn(tmp_path, rng):
+    """--freeze-bn trains on running BN statistics: the driver completes,
+    exports features, and the stored batch_stats equal the init values
+    (never mutated by training)."""
+    import glob
+
+    data_root = make_raw_fold(tmp_path / "raw", rng, n_trials=2, frames=8)
+    out_root = str(tmp_path / "features")
+    runs_root = str(tmp_path / "runs")
+    resnet_finetune.main(
+        ["--data-root", data_root, "--output-root", out_root,
+         "--folds", "1Out", "--runs-root", runs_root,
+         "--batch-size", "4", "--n-epochs", "1", "--no-augment",
+         "--freeze-bn"]
+    )
+    from med_tpu.data.trials import load_fold
+    from med_tpu.train.checkpoint import load_checkpoint
+
+    img, _, _, _, _ = load_fold(os.path.join(out_root, "1Out"), "test.csv")
+    assert img.shape == (8, 2048)
+    ckpt = glob.glob(os.path.join(runs_root, "**", "resnet50_1Out.npz"),
+                     recursive=True)
+    stats = load_checkpoint(ckpt[0])["batch_stats"]
+    # flax inits BN running stats to mean 0 / var 1; frozen they stay there
+    import jax
+
+    for path, leaf in jax.tree_util.tree_leaves_with_path(stats):
+        key = jax.tree_util.keystr(path)
+        expect = 1.0 if "var" in key else 0.0
+        np.testing.assert_allclose(np.asarray(leaf), expect, err_msg=key)
+
+
 def test_resnet_finetune_and_export(tmp_path, rng):
     data_root = make_raw_fold(tmp_path / "raw", rng)
     out_root = str(tmp_path / "features")
