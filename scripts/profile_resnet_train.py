@@ -3,6 +3,10 @@ resnet_train section: batch 32, on-device augment, BCE head, Adam).
 Prints exclusive us/iter buckets via xplane_timeline.
 
 Usage: python scripts/profile_resnet_train.py [batch] [--no-augment]
+           [--freeze-bn]
+
+--freeze-bn mirrors the driver's knob (cli/resnet_finetune.py): BN on
+running statistics, all params still trained.
 """
 
 import functools
@@ -28,6 +32,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     RB = int(args[0]) if args else 32
     use_aug = "--no-augment" not in sys.argv
+    freeze_bn = "--freeze-bn" in sys.argv
 
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
@@ -49,6 +54,12 @@ def main():
                     else (rimgs / 255.0 - 0.45) / 0.22)
 
             def loss_fn(p):
+                if freeze_bn:
+                    logits = clf.apply(
+                        {"params": p, "batch_stats": stats},
+                        imgs, train=False,
+                    )
+                    return bce_with_logits(logits, rlabels), stats
                 logits, mut = clf.apply(
                     {"params": p, "batch_stats": stats},
                     imgs, train=True,
