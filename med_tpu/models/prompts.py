@@ -8,12 +8,19 @@ vectors — the model only ever consumes them through a trainable bias-free
 projection (models_COG.py:151), so any fixed, well-conditioned table works;
 training adapts the projection.
 
-This module ships that behavior without a CLIP runtime dependency:
-- if an embedding file exists (``.npy``, or a torch ``.pt`` exported from the
-  reference's ``gest_prompt.pt``), it is loaded;
-- otherwise a deterministic surrogate table is generated (seeded Gaussian,
-  row-normalized to the typical CLIP text-embedding norm) and persisted, so
-  runs are reproducible.
+This module ships that behavior without a CLIP runtime dependency. Three
+embedding sources, in priority order:
+
+1. the JAX CLIP text tower (:mod:`med_tpu.models.clip_text`), when a CLIP
+   checkpoint (+ BPE merges file) is supplied — via the ``clip_ckpt`` /
+   ``clip_bpe`` arguments or the ``MED_TPU_CLIP_CKPT`` /
+   ``MED_TPU_CLIP_BPE`` environment variables. This is the only source
+   that gives *novel* prompt text (e.g. the runtime-built skill-conditioned
+   prompts, models_COG.py:404-406) a semantically meaningful embedding;
+2. a precomputed table file (``.npy``, or a torch ``.pt`` exported from the
+   reference's ``gest_prompt.pt``);
+3. a deterministic surrogate table (seeded Gaussian, row-normalized to the
+   typical CLIP text-embedding norm), so runs are always reproducible.
 """
 
 from __future__ import annotations
@@ -92,14 +99,48 @@ def _surrogate_table(texts, dim: int = EMBED_DIM) -> np.ndarray:
     return np.stack(rows).astype(np.float32)
 
 
-def load_prompt_embeddings(
-    path: Optional[str] = None, texts=GESTURES, dim: int = EMBED_DIM
-) -> np.ndarray:
-    """Load prompt embeddings from ``path`` or build the surrogate table.
+def encode_texts(clip_params: dict, token_ids, n_heads: int = 8) -> np.ndarray:
+    """Encode pre-tokenized prompts with the JAX CLIP text tower:
+    (B, L) int ids -> (B, 512) fp32 embeddings."""
+    import jax
 
-    Accepts ``.npy``/``.npz`` or a torch-saved tensor (the reference's
-    ``gest_prompt.pt``) when torch is importable.
+    from .clip_text import encode_text
+
+    fn = jax.jit(encode_text, static_argnames="n_heads")
+    return np.asarray(fn(clip_params, np.asarray(token_ids), n_heads=n_heads),
+                      np.float32)
+
+
+def encode_prompt_strings(clip_ckpt: str, texts, bpe_vocab: str) -> np.ndarray:
+    """Text -> embeddings from our own code (reference models_COG.py:408-445
+    at construction time): BPE-tokenize then run the JAX text tower."""
+    from .clip_text import load_clip_text_params
+    from .clip_tokenizer import ClipTokenizer
+
+    params = load_clip_text_params(clip_ckpt)
+    tok = ClipTokenizer(bpe_vocab)
+    # context length = the checkpoint's positional table (77 for ViT-B/32)
+    ctx = int(np.asarray(params["positional_embedding"]).shape[0])
+    return encode_texts(params, tok.tokenize(list(texts), ctx))
+
+
+def load_prompt_embeddings(
+    path: Optional[str] = None, texts=GESTURES, dim: int = EMBED_DIM,
+    clip_ckpt: Optional[str] = None, bpe_vocab: Optional[str] = None,
+) -> np.ndarray:
+    """Load prompt embeddings: CLIP tower > table file > surrogate (module
+    docstring). ``path`` accepts ``.npy``/``.npz`` or a torch-saved tensor
+    (the reference's ``gest_prompt.pt``) when torch is importable.
     """
+    clip_ckpt = clip_ckpt or os.environ.get("MED_TPU_CLIP_CKPT")
+    bpe_vocab = bpe_vocab or os.environ.get("MED_TPU_CLIP_BPE")
+    if (clip_ckpt and bpe_vocab and os.path.exists(clip_ckpt)
+            and os.path.exists(bpe_vocab)):
+        emb = encode_prompt_strings(clip_ckpt, texts, bpe_vocab)
+        if emb.shape[1] != dim:
+            raise ValueError(
+                f"CLIP tower width {emb.shape[1]} != requested dim {dim}")
+        return emb
     if path and os.path.exists(path):
         if path.endswith(".npy"):
             emb = np.load(path)
