@@ -9,6 +9,7 @@
   python -m med_tpu.cli.ensemble                    (ensemble.ipynb)
   python -m med_tpu.cli.preprocess                  (notebooks/data_processing.ipynb)
   python -m med_tpu.cli.resnet_finetune             (notebooks/resnet_finetuning.ipynb)
+  python -m med_tpu.cli.results                     (notebooks/results.ipynb)
 
 Data layout: ``<data_root>/<fold>/`` containing train.csv / test.csv, the
 per-trial .npz (or reference .pkl) files, and stats.npz (or the reference

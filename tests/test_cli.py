@@ -260,3 +260,72 @@ def test_cog_cli(data_root, tmp_path):
     import os
     assert os.path.exists(os.path.join(tr.dir, "artifacts",
                                        "windowed_metrics.json"))
+
+
+def _fake_run(runs_root, run_id, rng, folds=("1Out", "2Out"), acc=0.8,
+              n=120, labels=None):
+    """Synthetic stored run: artifact dumps with the engine's dump schema
+    (labels/preds/probs/raw_labels/subjects/gestures), no training.
+    ``labels``: shared per-fold ground truth so two runs are positionally
+    aligned (the overlap analysis requires it)."""
+    from med_tpu.config import RAW_ERROR_COLUMNS
+
+    d = os.path.join(runs_root, "exp", run_id, "artifacts")
+    os.makedirs(d, exist_ok=True)
+    for fold in folds:
+        y = rng.integers(0, 2, n) if labels is None else labels[fold]
+        flip = rng.random(n) > acc
+        preds = np.where(flip, 1 - y, y)
+        raw = np.zeros((n, len(RAW_ERROR_COLUMNS)), int)
+        raw[:, -1] = y
+        dump = {
+            "labels": y.tolist(),
+            "preds": preds.tolist(),
+            "probs": np.clip(preds * 0.8 + 0.1 + rng.normal(0, 0.05, n),
+                             0, 1).tolist(),
+            "raw_labels": raw.tolist(),
+            "subjects": ["s"] * n,
+            "gestures": [1] * n,
+        }
+        with open(os.path.join(d, f"best_model_LOSO_{fold}.json"), "w") as f:
+            json.dump(dump, f)
+    return run_id
+
+
+def test_results_cli(tmp_path, capsys):
+    """The results-analysis driver (reference notebooks/results.ipynb):
+    comparison table, per-error-type F1, majority baseline, paired t-test,
+    overlap and probability histograms over stored runs."""
+    from med_tpu.cli import results as cli_results
+
+    rng = np.random.default_rng(3)
+    runs = str(tmp_path / "runs")
+    labels = {f: rng.integers(0, 2, 120) for f in ("1Out", "2Out")}
+    a = _fake_run(runs, "runA", rng, acc=0.9, labels=labels)
+    b = _fake_run(runs, "runB", rng, acc=0.7, labels=labels)
+    base = ["--runs-root", runs, "--folds", "1Out,2Out"]
+
+    cli_results.main(["table", *base, "--run", f"cnn/video={a}",
+                      "--run", f"cnn/kin={b}"])
+    out = capsys.readouterr().out
+    assert "cnn/video" in out and "F1" in out and "±" in out
+
+    cli_results.main(["errors", *base, "--run-id", a])
+    out = capsys.readouterr().out
+    assert "per-error-type F1 [Error]" in out
+
+    cli_results.main(["majority", *base, "--run-id", a])
+    out = capsys.readouterr().out
+    assert "majority baseline f1" in out
+
+    cli_results.main(["ttest", *base, "--run-a", a, "--run-b", b])
+    out = capsys.readouterr().out
+    assert "paired t-test: t=" in out
+
+    cli_results.main(["overlap", *base, "--run-a", a, "--run-b", b])
+    out = capsys.readouterr().out
+    assert "overlap: both=" in out
+
+    img = str(tmp_path / "h.png")
+    cli_results.main(["hist", *base, "--run-id", a, "--out-image", img])
+    assert os.path.exists(img)
