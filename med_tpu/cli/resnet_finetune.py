@@ -70,7 +70,7 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
     mean = (train_imgs.reshape(-1, 3).mean(0) / 255.0).astype(np.float32)
     std = (train_imgs.reshape(-1, 3).std(0) / 255.0 + 1e-6).astype(np.float32)
 
-    model = ResNetClassifier()
+    model = ResNetClassifier(bn_stat_stride=args.bn_stat_stride)
     rng = jax.random.key(args.seed)
     sample = jnp.zeros((args.batch_size, *train_imgs.shape[1:3], 3), jnp.float32)
     variables = model.init({"params": rng}, sample, train=False)
@@ -207,6 +207,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--bn-stat-stride", type=int, default=1,
+                   help="ghost-stat BN: train-mode statistics from every "
+                        "N-th image row (models/resnet.py::"
+                        "SubsampledBatchNorm). 1 = exact BatchNorm "
+                        "(reference parity, default)")
     p.add_argument("--freeze-bn", action="store_true", default=False,
                    help="BatchNorm uses running statistics during training "
                         "(torch trunk.eval() idiom); all params still "

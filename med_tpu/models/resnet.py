@@ -17,9 +17,63 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import kaiming_normal_fan_out
+
+
+class SubsampledBatchNorm(nn.Module):
+    """BatchNorm whose TRAIN-mode statistics are estimated on every
+    ``stat_stride``-th image row (full batch, full channels) instead of the
+    complete (B, H, W) reduction; normalization still covers every element.
+
+    Motivation (round-4 trace, CLAUDE.md): the fine-tune step's remaining
+    wall is ~5 ms of BN stat/grad reductions over 53 layers' activations at
+    HBM bandwidth — the stat pass re-reads every activation the conv just
+    wrote. Row subsampling cuts that read by ``stat_stride``x. It is a
+    DOCUMENTED DEVIATION from exact train-mode BN (estimator noise on
+    mean/var; running stats track the same quantity in expectation) and is
+    OFF by default (stride 1 = exact BatchNorm semantics, equality pinned
+    in tests/test_resnet_bn.py); opt in via the driver's
+    ``--bn-stat-stride``. Parameter/variable tree matches nn.BatchNorm
+    (params scale/bias, batch_stats mean/var), so checkpoints and the
+    torchvision importer are unaffected.
+    """
+
+    stat_stride: int = 4
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            sub = x[:, :: self.stat_stride] if x.ndim == 4 else x
+            sub = sub.astype(jnp.float32)
+            mean = jnp.mean(sub, axis=tuple(range(sub.ndim - 1)))
+            # biased variance, like flax nn.BatchNorm
+            var = jnp.mean(
+                jnp.square(sub), axis=tuple(range(sub.ndim - 1))
+            ) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(self.dtype)
+        return ((x.astype(self.dtype) - mean.astype(self.dtype)) * inv
+                + bias.astype(self.dtype))
 
 
 class Bottleneck(nn.Module):
@@ -27,29 +81,37 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32   # compute dtype (params stay fp32)
+    bn_stat_stride: int = 1    # >1: SubsampledBatchNorm ghost stats
+
+    def _bn(self, name: str, train: bool):
+        if self.bn_stat_stride > 1:
+            return SubsampledBatchNorm(
+                stat_stride=self.bn_stat_stride,
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, name=name)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv_kw = dict(use_bias=False, kernel_init=kaiming_normal_fan_out,
                        dtype=self.dtype)
-        bn_kw = dict(use_running_average=not train, momentum=0.9,
-                     dtype=self.dtype)
         residual = x
         y = nn.Conv(self.features, (1, 1), name="conv1", **conv_kw)(x)
-        y = nn.BatchNorm(name="bn1", **bn_kw)(y)
+        y = self._bn("bn1", train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], name="conv2", **conv_kw)(y)
-        y = nn.BatchNorm(name="bn2", **bn_kw)(y)
+        y = self._bn("bn2", train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), name="conv3", **conv_kw)(y)
-        y = nn.BatchNorm(name="bn3", **bn_kw)(y)
+        y = self._bn("bn3", train)(y)
         if self.downsample:
             residual = nn.Conv(
                 self.features * 4, (1, 1), strides=(self.stride, self.stride),
                 name="down_conv", **conv_kw,
             )(x)
-            residual = nn.BatchNorm(name="down_bn", **bn_kw)(residual)
+            residual = self._bn("down_bn", train)(residual)
         return nn.relu(y + residual)
 
 
@@ -59,6 +121,7 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     dtype: Any = jnp.float32   # bfloat16 for the fast serving path
+    bn_stat_stride: int = 1    # >1: ghost-stat BN (SubsampledBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,8 +130,14 @@ class ResNet50(nn.Module):
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     kernel_init=kaiming_normal_fan_out, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, name="bn1")(y)
+        if self.bn_stat_stride > 1:
+            y = SubsampledBatchNorm(
+                stat_stride=self.bn_stat_stride,
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, name="bn1")(y)
+        else:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, n_blocks in enumerate(self.stage_sizes):
@@ -79,6 +148,7 @@ class ResNet50(nn.Module):
                     features, stride=stride,
                     downsample=(block == 0),
                     dtype=self.dtype,
+                    bn_stat_stride=self.bn_stat_stride,
                     name=f"layer{stage + 1}_{block}",
                 )(y, train)
         # pool in fp32 for a stable feature scale
@@ -93,9 +163,11 @@ class ResNetClassifier(nn.Module):
     width: int = 64
     n_classes: int = 1
     dtype: Any = jnp.float32
+    bn_stat_stride: int = 1
 
     def setup(self):
-        self.trunk = ResNet50(self.stage_sizes, self.width, self.dtype)
+        self.trunk = ResNet50(self.stage_sizes, self.width, self.dtype,
+                              bn_stat_stride=self.bn_stat_stride)
         self.fc1 = nn.Dense(512)
         self.fc2 = nn.Dense(self.n_classes)
 

@@ -3,7 +3,7 @@ resnet_train section: batch 32, on-device augment, BCE head, Adam).
 Prints exclusive us/iter buckets via xplane_timeline.
 
 Usage: python scripts/profile_resnet_train.py [batch] [--no-augment]
-           [--freeze-bn]
+           [--freeze-bn] [--bn-stat-stride=N]
 
 --freeze-bn mirrors the driver's knob (cli/resnet_finetune.py): BN on
 running statistics, all params still trained.
@@ -33,10 +33,15 @@ def main():
     RB = int(args[0]) if args else 32
     use_aug = "--no-augment" not in sys.argv
     freeze_bn = "--freeze-bn" in sys.argv
+    bn_stride = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--bn-stat-stride="):
+            bn_stride = int(a.split("=", 1)[1])
 
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
-    clf = ResNetClassifier(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    clf = ResNetClassifier(dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                           bn_stat_stride=bn_stride)
     rimgs = jnp.asarray(rng.normal(size=(RB, 224, 224, 3)) * 60 + 127,
                         jnp.float32)
     rlabels = jnp.asarray(rng.integers(0, 2, RB), jnp.float32)
