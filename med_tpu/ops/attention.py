@@ -469,10 +469,19 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     kh = jnp.pad(k, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
     vh = jnp.pad(v, ((0, 0), (0, 0), (window - 1, Tk - T - (window - 1))))
 
+    # At batch 1 the forward fits the 16M default scoped-vmem budget, but
+    # under a trial vmap (engine trial_batch>1) Mosaic's packing runs ~5%
+    # over (measured 16.88M at trial_batch=8, T=1024) — grant the same
+    # explicit headroom the backward already uses (v5e: 128M physical).
+    cparams = None
+    if pltpu is not None and not interpret:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
     vma = _vma_of(q, k, v)
     out, stats = pl.pallas_call(
         functools.partial(_swa_packed_fwd_kernel, window=window, tile=tile, m=m,
                           kh=halo),
+        compiler_params=cparams,
         out_shape=(
             jax.ShapeDtypeStruct((H, dv, Tp * m), q.dtype, vma=vma),
             jax.ShapeDtypeStruct((H, 2, Tp * m), jnp.float32, vma=vma),

@@ -83,10 +83,16 @@ def _conv_i8(xq, wq, stride: int, pad: int):
 
 
 def _conv_f(x, k, b, stride: int, pad: int):
-    """Folded-fp conv for the calibration pass (fp32 on host/CPU)."""
+    """Folded-fp conv for the calibration pass.
+
+    precision=HIGHEST: the calibration jit may land on TPU (bf16 default
+    matmul inputs), and the recorded max-abs activation scales must match
+    the f32 statistics the CPU tests pin — PTQ scales should not be
+    platform-dependent (round-4 ADVICE item 1)."""
     y = lax.conv_general_dilated(
         x, k, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
     )
     return y + b
 

@@ -1,5 +1,10 @@
 """A/B the int8 serving trunk vs the bf16 trunk on real TPU (batch 128,
-224x224 — the e2e bench shape). Two-point-slope timing per CLAUDE.md.
+224x224 — the e2e bench shape). Guarded two-point-slope timing (bench.py).
+
+Calibration uses the REAL preprocess path (synthetic 240x320 frames ->
+jax_preprocess_frames), not raw N(0,1) noise, so the static activation
+scales and the printed cosine drift reflect serving conditions (round-4
+ADVICE item 3).
 
 Usage: python scripts/bench_int8_trunk.py
 """
@@ -10,32 +15,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import bench
 from med_tpu.cli.common import enable_compilation_cache
+from med_tpu.data.preprocessing import jax_preprocess_frames
 from med_tpu.models.resnet import ResNet50
 from med_tpu.ops.quant import quantize_resnet50_trunk, resnet50_int8_apply
-
-REPEATS = 3
-
-
-def timed_slope(run, carry, n_lo=20, n_hi=100):
-    lo, hi = jnp.asarray(n_lo), jnp.asarray(n_hi)
-    carry = jax.block_until_ready(run(carry, lo))
-    best_lo = best_hi = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        carry = jax.block_until_ready(run(carry, lo))
-        best_lo = min(best_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        carry = jax.block_until_ready(run(carry, hi))
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return (best_hi - best_lo) / (n_hi - n_lo)
 
 
 def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     NB = 128
-    pix = jnp.asarray(rng.normal(size=(NB, 224, 224, 3)), jnp.float32)
+    frames = jnp.asarray(rng.normal(size=(NB, 240, 320, 3)) * 60 + 127,
+                         jnp.float32)
+    pix = jax_preprocess_frames(frames)  # (NB, 224, 224, 3), normalized
 
     trunk = ResNet50(dtype=jnp.bfloat16)
     t0 = time.time()
@@ -48,33 +41,45 @@ def main():
     qt = quantize_resnet50_trunk(tv, pix[:8])
     print("quantize+calibrate", time.time() - t0, flush=True)
 
-    @jax.jit
-    def run_bf16(fr, n):
-        def body(i, f):
-            feats = trunk.apply(tv, f, train=False)
-            return f + 1e-9 * jnp.mean(feats)
-        return jax.lax.fori_loop(0, n, body, fr)
+    def make_bf16():
+        @jax.jit
+        def run(fr, n):
+            def body(i, f):
+                feats = trunk.apply(tv, f, train=False)
+                return f + 1e-9 * jnp.mean(feats)
+            return jax.lax.fori_loop(0, n, body, fr)
+        return run
 
-    @jax.jit
-    def run_i8(fr, n):
-        def body(i, f):
-            feats = resnet50_int8_apply(qt, f)
-            return f + 1e-9 * jnp.mean(feats)
-        return jax.lax.fori_loop(0, n, body, fr)
+    def make_i8():
+        @jax.jit
+        def run(fr, n):
+            def body(i, f):
+                feats = resnet50_int8_apply(qt, f)
+                return f + 1e-9 * jnp.mean(feats)
+            return jax.lax.fori_loop(0, n, body, fr)
+        return run
 
-    t_bf16 = timed_slope(run_bf16, pix)
+    t_bf16 = bench._timed_loop(make_bf16, pix, name="bf16")
     print(f"bf16 trunk: {t_bf16*1e3:.3f} ms/step "
           f"({NB/t_bf16:.0f} frames/s)", flush=True)
-    t_i8 = timed_slope(run_i8, pix)
+    t_i8 = bench._timed_loop(make_i8, pix, name="int8")
     print(f"int8 trunk: {t_i8*1e3:.3f} ms/step "
           f"({NB/t_i8:.0f} frames/s)  speedup {t_bf16/t_i8:.2f}x", flush=True)
+    print("methods:", bench._METHODS, flush=True)
 
-    # numeric drift on this batch
+    # numeric drift on a real-preprocess batch
     ref = np.asarray(trunk.apply(tv, pix[:16], train=False), np.float32)
     got = np.asarray(resnet50_int8_apply(qt, pix[:16]))
     cos = np.sum(got * ref, -1) / (
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
     print("cosine(int8, bf16) min/mean:", cos.min(), cos.mean(), flush=True)
+    # fp32 oracle on the same batch for an absolute reference
+    trunk32 = ResNet50(dtype=jnp.float32)
+    ref32 = np.asarray(trunk32.apply(tv, pix[:16], train=False))
+    cos32 = np.sum(got * ref32, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref32, axis=-1))
+    print("cosine(int8, fp32) min/mean:", cos32.min(), cos32.mean(),
+          flush=True)
 
 
 if __name__ == "__main__":
