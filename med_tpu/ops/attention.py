@@ -475,7 +475,7 @@ def sliding_window_attention_packed_fwd(q, k, v, window: int, m: int, tile: int 
     # explicit headroom the backward already uses (v5e: 128M physical).
     cparams = None
     if pltpu is not None and not interpret:
-        cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
     vma = _vma_of(q, k, v)
     out, stats = pl.pallas_call(
@@ -632,9 +632,13 @@ def sliding_window_attention_packed_bwd(q, k, v, g, out, stats, window: int,
     # budget in mask/int temporaries at m=30; the v5e has 128M physical
     # VMEM, so grant the kernel headroom explicitly (TPU lowering only —
     # interpret mode ignores compiler params)
+    # 96M (v5e: 128M physical): the chunked body needs ~1.05x the 16M
+    # default at m=30, and a trial-vmapped backward measured 64.25M at
+    # trial_batch=8, T=1024 — Mosaic's batched packing adds a small
+    # overhead on top of the per-cell blocks.
     cparams = None
     if pltpu is not None and not interpret:
-        cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
     vma = _vma_of(q, k, v, g, out, stats)
     dq, dk_out, dv_out = pl.pallas_call(
