@@ -167,13 +167,32 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
                     meta={"mean": mean.tolist(), "std": std.tolist(),
                           "best_acc": best_acc})
 
-    # feature export: head -> Identity (trunk output)
-    @jax.jit
-    def features(imgs):
-        return model.apply(
-            {"params": best["params"], "batch_stats": best["batch_stats"]},
-            preprocess(imgs), train=False, method="features",
+    # feature export: head -> Identity (trunk output). --int8-trunk swaps
+    # in the post-training-quantized serving trunk (ops/quant.py): measured
+    # 6.88 vs 9.43 ms per 128-frame batch on TPU v5e (1.37x past the
+    # bandwidth-bound bf16 floor), features within documented PTQ drift of
+    # the fp trunk. Opt-in, serving/export only — training and parity paths
+    # never touch it.
+    if args.int8_trunk:
+        from ..ops.quant import quantize_resnet50_trunk, resnet50_int8_apply
+
+        qt = quantize_resnet50_trunk(
+            {"params": best["params"]["trunk"],
+             "batch_stats": best["batch_stats"]["trunk"]},
+            preprocess(jnp.asarray(
+                train_imgs[: min(32, len(train_imgs))], jnp.float32)),
         )
+
+        @jax.jit
+        def features(imgs):
+            return resnet50_int8_apply(qt, preprocess(imgs))
+    else:
+        @jax.jit
+        def features(imgs):
+            return model.apply(
+                {"params": best["params"], "batch_stats": best["batch_stats"]},
+                preprocess(imgs), train=False, method="features",
+            )
 
     out_dir = os.path.join(args.output_root, fold_name)
     os.makedirs(out_dir, exist_ok=True)
@@ -207,6 +226,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--int8-trunk", action="store_true", default=False,
+                   help="export features through the int8 PTQ serving "
+                        "trunk (ops/quant.py; 1.37x the bf16 trunk on "
+                        "v5e, documented drift). Serving-only knob")
     p.add_argument("--bn-stat-stride", type=int, default=1,
                    help="ghost-stat BN: train-mode statistics from every "
                         "N-th image row (models/resnet.py::"

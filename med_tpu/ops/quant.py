@@ -32,6 +32,7 @@ drift vs the fp32 trunk (tests/test_quant.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Dict, Sequence, Tuple
 
@@ -165,9 +166,20 @@ def quantize_resnet50_trunk(variables, calib_x,
     pytree consumable by :func:`resnet50_int8_apply`.
     """
     folded = _fold_trunk(variables, stage_sizes)
-    rec = jax.jit(functools.partial(
-        _calib_forward, stage_sizes=tuple(stage_sizes)))(
-        folded, jnp.asarray(calib_x, jnp.float32))
+    # Calibration runs ON HOST CPU: it is a one-off fp32 statistics pass
+    # (seconds on host), while compiling the 53-conv HIGHEST-precision
+    # program through the remote TPU tunnel costs tens of minutes — and CPU
+    # fp32 makes the recorded scales platform-independent by construction
+    # (round-4 ADVICE item 1).
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        args = jax.device_put((folded, jnp.asarray(calib_x, jnp.float32)), cpu) \
+            if cpu is not None else (folded, jnp.asarray(calib_x, jnp.float32))
+        rec = jax.jit(functools.partial(
+            _calib_forward, stage_sizes=tuple(stage_sizes)))(*args)
     rec = {k: float(v) for k, v in rec.items()}
 
     def act_scale(key):

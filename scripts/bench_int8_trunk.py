@@ -9,7 +9,11 @@ ADVICE item 3).
 Usage: python scripts/bench_int8_trunk.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
