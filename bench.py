@@ -367,7 +367,10 @@ def main():
             "mask": jnp.ones(T, jnp.float32),
             "true_len": jnp.asarray(T, jnp.int32),
         }
-        cog_state = exp_cog.init_state(jax.random.key(1), fbatch)
+        # jitted init: eager COG init dispatches each traced op separately
+        # over the relay (minutes, CLAUDE.md) — one compiled program instead
+        cog_init = jax.jit(lambda r: exp_cog.init_state(r, fbatch))
+        cog_state = cog_init(jax.random.key(1))
         cog_params = exp_cog.params_tree(cog_state.params)
 
     if exp_cog is not None and _budget_left():
@@ -383,12 +386,10 @@ def main():
                 return run
 
             t_cog_train = _timed_loop(
-                make_cog_train_run,
-                exp_cog.init_state(jax.random.key(3), fbatch),
+                make_cog_train_run, cog_init(jax.random.key(3)),
                 name="cog_train")
             cog_train_flops = _loop_flops(
-                make_cog_train_run, exp_cog.init_state(jax.random.key(3),
-                                                       fbatch))
+                make_cog_train_run, cog_init(jax.random.key(3)))
 
     # =====================================================================
     # priority 4 — COG train step at trial_batch=8: the THROUGHPUT regime
@@ -399,7 +400,8 @@ def main():
     if cfg_cog is not None and _budget_left():
         with guard("cog_train_tb8"):
             exp_tb = Experiment(cfg_cog.replace(trial_batch=TB))
-            tb_state = exp_tb.init_state(jax.random.key(3), fbatch)
+            tb_state = jax.jit(lambda r: exp_tb.init_state(r, fbatch))(
+                jax.random.key(3))
             gbatch = {k: jnp.stack([v] * TB) for k, v in fbatch.items()}
             gbatch["trial_weight"] = jnp.ones(TB, jnp.float32)
             tb_step = exp_tb._make_step(train=True)

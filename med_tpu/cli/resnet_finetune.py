@@ -231,8 +231,8 @@ def main(argv=None):
                         "trunk (ops/quant.py; 1.37x the bf16 trunk on "
                         "v5e, documented drift). Serving-only knob")
     p.add_argument("--bn-stat-stride", type=int, default=1,
-                   help="ghost-stat BN: train-mode statistics from every "
-                        "N-th image row (models/resnet.py::"
+                   help="ghost-batch BN: train-mode statistics from the "
+                        "first batch/N images (models/resnet.py::"
                         "SubsampledBatchNorm). 1 = exact BatchNorm "
                         "(reference parity, default)")
     p.add_argument("--freeze-bn", action="store_true", default=False,

@@ -24,21 +24,26 @@ from .layers import kaiming_normal_fan_out
 
 
 class SubsampledBatchNorm(nn.Module):
-    """BatchNorm whose TRAIN-mode statistics are estimated on every
-    ``stat_stride``-th image row (full batch, full channels) instead of the
-    complete (B, H, W) reduction; normalization still covers every element.
+    """BatchNorm whose TRAIN-mode statistics are estimated on the first
+    ``B / stat_stride`` images of the batch ("ghost batch" statistics)
+    instead of the complete (B, H, W) reduction; normalization still covers
+    every element.
 
     Motivation (round-4 trace, CLAUDE.md): the fine-tune step's remaining
     wall is ~5 ms of BN stat/grad reductions over 53 layers' activations at
     HBM bandwidth — the stat pass re-reads every activation the conv just
-    wrote. Row subsampling cuts that read by ``stat_stride``x. It is a
-    DOCUMENTED DEVIATION from exact train-mode BN (estimator noise on
-    mean/var; running stats track the same quantity in expectation) and is
-    OFF by default (stride 1 = exact BatchNorm semantics, equality pinned
-    in tests/test_resnet_bn.py); opt in via the driver's
-    ``--bn-stat-stride``. Parameter/variable tree matches nn.BatchNorm
-    (params scale/bias, batch_stats mean/var), so checkpoints and the
-    torchvision importer are unaffected.
+    wrote. A batch-prefix subsample cuts that read by ``stat_stride``x and
+    is unbiased under shuffled batches. The subsample MUST be a contiguous
+    leading slice: a strided row gather (``x[:, ::4]``) was measured at
+    15.25 ms/step vs the 12.73 exact-BN step — TPU lowers the strided
+    slice to relayout copies (9.5 ms of copy-start) that dwarf the saved
+    stat pass. It is a DOCUMENTED DEVIATION from exact train-mode BN
+    (estimator noise on mean/var; running stats track the same quantity in
+    expectation) and is OFF by default (stride 1 = exact BatchNorm
+    semantics, equality pinned in tests/test_resnet_bn.py); opt in via the
+    driver's ``--bn-stat-stride``. Parameter/variable tree matches
+    nn.BatchNorm (params scale/bias, batch_stats mean/var), so checkpoints
+    and the torchvision importer are unaffected.
     """
 
     stat_stride: int = 4
@@ -59,7 +64,8 @@ class SubsampledBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            sub = x[:, :: self.stat_stride] if x.ndim == 4 else x
+            sub = (x[: max(1, x.shape[0] // self.stat_stride)]
+                   if x.ndim == 4 else x)
             sub = sub.astype(jnp.float32)
             mean = jnp.mean(sub, axis=tuple(range(sub.ndim - 1)))
             # biased variance, like flax nn.BatchNorm

@@ -1,8 +1,9 @@
-"""SubsampledBatchNorm (ghost-stat BN knob, round-4 VERDICT item 6).
+"""SubsampledBatchNorm (ghost-batch-stat BN knob, round-4 VERDICT item 6).
 
 stride 1 must equal flax nn.BatchNorm exactly (output + updated running
-stats); stride > 1 must normalize with statistics of every stride-th row
-and keep the nn.BatchNorm variable tree (checkpoint/torch-import interop).
+stats); stride > 1 must normalize with statistics of the first B/stride
+images (a contiguous slice — strided gathers relayout-copy on TPU) and
+keep the nn.BatchNorm variable tree (checkpoint/torch-import interop).
 """
 
 import jax
@@ -36,11 +37,12 @@ def test_stride1_equals_flax_batchnorm(rng):
 
 
 def test_strided_stats_match_manual(rng):
-    x = jnp.asarray(rng.normal(size=(3, 8, 5, 4)) * 3 - 2, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 6, 5, 4)) * 3 - 2, jnp.float32)
     mod = SubsampledBatchNorm(stat_stride=4, use_running_average=False,
                               momentum=0.9)
     vars_, y, stats = _apply(mod, x, True)
-    sub = np.asarray(x)[:, ::4]
+    # ghost-batch statistics: the first B/stride images, contiguous slice
+    sub = np.asarray(x)[:2]
     mean = sub.mean(axis=(0, 1, 2))
     var = (sub ** 2).mean(axis=(0, 1, 2)) - mean ** 2
     want = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
