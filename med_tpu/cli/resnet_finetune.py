@@ -87,6 +87,33 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
+    # --mesh: data-parallel fine-tuning over the mesh 'data' axis. Params /
+    # optimizer state replicate; batches shard on axis 0; GSPMD turns the
+    # batch reductions (BN statistics, BCE mean, grads) into global
+    # collectives, so the math is the single-device step's (reduction order
+    # aside). The export pass stays unsharded (variable-length tails).
+    from .common import mesh_from_args
+
+    mesh = mesh_from_args(args)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        n_data = int(mesh.shape["data"])
+        if args.batch_size % n_data:
+            raise SystemExit(f"--mesh: batch size {args.batch_size} not a "
+                             f"multiple of the data axis ({n_data})")
+        rep = NamedSharding(mesh, P())
+        dsh = NamedSharding(mesh, P("data"))
+        params, batch_stats, opt_state = jax.device_put(
+            (params, batch_stats, opt_state), rep)
+
+        def put_batch(a):
+            return jax.device_put(jnp.asarray(a), dsh)
+    else:
+        def put_batch(a):
+            return jnp.asarray(a)
+
     mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
 
     def preprocess(x):
@@ -145,14 +172,14 @@ def finetune_fold(fold_dir, args, tracker, fold_name):
                                            args.seed + epoch):
             aug_key, sk = jax.random.split(aug_key)
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, jnp.asarray(imgs),
-                jnp.asarray(labels), jnp.asarray(mask), sk,
+                params, batch_stats, opt_state, put_batch(imgs),
+                put_batch(labels), put_batch(mask), sk,
             )
         cm = np.zeros((2, 2), np.int64)
         for imgs, labels, mask in _batches(test_imgs, test_labels,
                                            args.batch_size, False, 0):
-            cm += np.asarray(eval_step(params, batch_stats, jnp.asarray(imgs),
-                                       jnp.asarray(labels), jnp.asarray(mask)))
+            cm += np.asarray(eval_step(params, batch_stats, put_batch(imgs),
+                                       put_batch(labels), put_batch(mask)))
         acc = metrics_from_cm(cm, "binary")["accuracy"]
         tracker.log_metrics({f"{fold_name}_loss": float(loss),
                              f"{fold_name}_test_acc": acc}, step=epoch)
@@ -226,6 +253,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for data-parallel fine-tuning: 'auto' "
+                        "or 'N[,M]' (batch must divide by the data axis)")
     p.add_argument("--int8-trunk", action="store_true", default=False,
                    help="export features through the int8 PTQ serving "
                         "trunk (ops/quant.py; 1.37x the bf16 trunk on "

@@ -186,3 +186,43 @@ def test_resnet_finetune_int8_export(tmp_path, rng):
     assert cos.min() > 0.98, cos
     # and it is genuinely the quantized path, not a silent fp fallback
     assert np.abs(fp - i8).max() > 1e-6
+
+
+def test_resnet_finetune_mesh_dp_matches_single(tmp_path, rng):
+    """--mesh 2,1: data-parallel fine-tuning (batch sharded over the mesh
+    'data' axis, params replicated, GSPMD global BN/loss/grad reductions)
+    has the single-device semantics.
+
+    Parity is pinned at lr=0 (forward + BN running-stat evolution, tight):
+    at a real lr the comparison is chaotic BY CONSTRUCTION, not by bug —
+    Adam's step-1 update is ~lr*sign(g) from a random-init trunk, so
+    reduction-order epsilons flip near-zero grad signs and diverge the
+    random trunk (measured cosine ~0.95 after 2 steps on BOTH orderings of
+    the same math); the lr>0 leg asserts the mesh run trains and exports
+    sane features."""
+    data_root = make_raw_fold(tmp_path / "raw", rng, n_trials=2, frames=8)
+    base = ["--data-root", data_root, "--folds", "1Out", "--batch-size", "4",
+            "--n-epochs", "1", "--no-augment", "--seed", "0"]
+
+    from med_tpu.data.trials import load_fold
+
+    # lr=0: stats-only evolution must match tightly across shardings
+    out_a = str(tmp_path / "feat_single")
+    out_b = str(tmp_path / "feat_mesh")
+    resnet_finetune.main([*base, "--lr", "0.0", "--output-root", out_a,
+                          "--runs-root", str(tmp_path / "runs_a")])
+    resnet_finetune.main([*base, "--lr", "0.0", "--output-root", out_b,
+                          "--runs-root", str(tmp_path / "runs_b"),
+                          "--mesh", "2,1"])
+    fa, *_ = load_fold(os.path.join(out_a, "1Out"), "test.csv")
+    fb, *_ = load_fold(os.path.join(out_b, "1Out"), "test.csv")
+    assert fa.shape == fb.shape == (8, 2048)
+    np.testing.assert_allclose(fa, fb, rtol=2e-3, atol=2e-3)
+
+    # real lr on the mesh: trains end-to-end, finite sane export
+    out_c = str(tmp_path / "feat_mesh_lr")
+    resnet_finetune.main([*base, "--output-root", out_c,
+                          "--runs-root", str(tmp_path / "runs_c"),
+                          "--mesh", "2,1"])
+    fc, *_ = load_fold(os.path.join(out_c, "1Out"), "test.csv")
+    assert np.isfinite(fc).all() and np.abs(fc).max() > 0
