@@ -29,6 +29,65 @@ def _load_fold_dump(runs_root, run_id, setting, out):
         return json.load(f)
 
 
+def _serve_pixels(args, folds, cfg, mesh):
+    """Live pixels -> prediction serving: per fold, the fine-tuned ResNet-50
+    trunk (bf16, or the int8 PTQ serving trunk with --int8-trunk) runs
+    in-process ahead of the fused window ensemble — no offline feature
+    export step (the reference's preprocessing_utils.py:734-823) in the
+    loop. Fold standardization statistics are computed live from the train
+    split's trunk features, exactly what the offline export + windowing
+    chain would produce."""
+    import jax.numpy as jnp
+
+    from ..data.labels import powerset_error_labels
+    from ..data.trials import compute_fold_stats, load_fold_trials
+    from ..eval.ensemble import score_predictions
+    from ..eval.serving import (PixelFrontEnd, load_ensemble,
+                                predict_trial_from_pixels)
+    from ..eval.summary import weighted_mean_std
+
+    f1s, accs, weights = [], [], []
+    for out in folds:
+        fold_dir = os.path.join(args.pixels_root, out)
+        train_trials = load_fold_trials(fold_dir, "train.csv")
+        test_trials = load_fold_trials(fold_dir, "test.csv")
+        ckpt_path = args.resnet_ckpt.format(fold=out)
+        kw = dict(batch_size=args.serve_batch_size, mesh=mesh)
+        if not args.bf16_trunk:
+            kw["dtype"] = jnp.float32
+        if args.int8_trunk:
+            kw.update(int8=True,
+                      calib_frames=train_trials[0].image_feats[:32])
+        fe = PixelFrontEnd.from_checkpoint(ckpt_path, **kw)
+        feats = np.concatenate([fe.features(t.image_feats)
+                                for t in train_trials])
+        kins = np.concatenate([t.kinematics for t in train_trials])
+        stats = compute_fold_stats(feats, kins)
+        server = load_ensemble(
+            args.runs_root, [args.run_a, args.run_b], args.setting, out,
+            mode="soft_vote", mesh=mesh)
+        all_preds, all_labels = [], []
+        for t in test_trials:
+            starts, preds, _ = predict_trial_from_pixels(
+                fe, server, t.image_feats, t.kinematics, t.g_labels,
+                cfg, stats)
+            pw, nd_mask = powerset_error_labels(
+                t.e_labels[starts], delete_ND=cfg.delete_ND)
+            keep = ~nd_mask if cfg.delete_ND else np.ones(len(pw), bool)
+            all_preds.append(preds[keep])
+            all_labels.append(pw[keep, -1].astype(np.int64))
+        preds = np.concatenate(all_preds)
+        labels = np.concatenate(all_labels)
+        m, _ = score_predictions(labels, preds, 2, "binary")
+        f1s.append(m["f1"]); accs.append(m["accuracy"])
+        weights.append(len(labels))
+        print(f"[{out}] pixel-serve f1={m['f1']:.3f} acc={m['accuracy']:.3f} "
+              f"trunk={'int8' if args.int8_trunk else ('bf16' if args.bf16_trunk else 'fp32')}")
+    for name, vals in [("F1", f1s), ("Accuracy", accs)]:
+        mu, sd = weighted_mean_std(vals, weights)
+        print(f"pixel-serve soft_vote binary {name}: {mu:.3f} ± {sd:.3f}")
+
+
 def _serve(args, folds):
     """Live fused ensemble inference (eval/serving.py::EnsembleServer):
     both member forwards + the soft-vote rule compile to ONE program, the
@@ -50,6 +109,10 @@ def _serve(args, folds):
         params = json.load(f)
     cfg = ExperimentConfig(**{k: v for k, v in params.items()
                               if k in ExperimentConfig.__dataclass_fields__})
+    if args.pixels_root:
+        if not args.resnet_ckpt:
+            raise SystemExit("--pixels-root needs --resnet-ckpt")
+        return _serve_pixels(args, folds, cfg, mesh)
     f1s, accs, weights = [], [], []
     for out in folds:
         server = load_ensemble(
@@ -94,12 +157,28 @@ def main(argv=None):
                    help="fold data for --serve")
     p.add_argument("--mesh", default=None,
                    help="device mesh for --serve ('auto' or 'N,M')")
+    p.add_argument("--pixels-root", default=None,
+                   help="--serve from RAW-FRAME fold dirs: the fine-tuned "
+                        "ResNet-50 trunk runs live ahead of the ensemble "
+                        "(no offline feature export)")
+    p.add_argument("--resnet-ckpt", default=None,
+                   help="resnet_finetune checkpoint for --pixels-root; "
+                        "'{fold}' expands per fold")
+    p.add_argument("--int8-trunk", action="store_true", default=False,
+                   help="serve pixels through the int8 PTQ trunk "
+                        "(ops/quant.py; 1.37x the bf16 floor on v5e)")
+    p.add_argument("--bf16-trunk", action="store_true", default=True,
+                   help="bf16 trunk compute for --pixels-root (default)")
+    p.add_argument("--fp32-trunk", dest="bf16_trunk", action="store_false")
+    p.add_argument("--serve-batch-size", type=int, default=128,
+                   help="trunk batch for --pixels-root (one compiled "
+                        "program per serving session)")
     args = p.parse_args(argv)
 
     folds = [f for f in args.folds.split(",") if f]
     if args.serve:
-        if not args.data_root:
-            raise SystemExit("--serve needs --data-root")
+        if not (args.data_root or args.pixels_root):
+            raise SystemExit("--serve needs --data-root or --pixels-root")
         return _serve(args, folds)
     dumps_a = {o: _load_fold_dump(args.runs_root, args.run_a, args.setting, o)
                for o in folds}

@@ -17,6 +17,7 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ExperimentConfig
 from ..models import build_feature_extractor, build_model
@@ -134,6 +135,151 @@ def load_ensemble(
     return EnsembleServer(members, mode=mode, mesh=mesh)
 
 
+class PixelFrontEnd:
+    """Raw frames -> pooled ResNet-50 trunk features, live.
+
+    Completes the pixels -> prediction serving chain: the reference exports
+    2048-d features offline (``preprocessing_utils.py:734-823``) before any
+    window model ever runs; here the fine-tuned trunk serves in-process
+    ahead of the ensemble. Two trunk modes:
+
+    - bf16 (default): :class:`models.resnet.ResNet50` at dtype bfloat16 —
+      the documented single-chip e2e floor (~13.3k frames/s on v5e);
+    - ``int8=True``: the PTQ serving trunk (ops/quant.py) calibrated from
+      caller-supplied frames — measured 1.37x past the bf16 floor
+      (18.6k frames/s, cosine 0.99986 vs fp32 at the e2e shape).
+
+    Preprocessing: with per-fold pixel channel stats (``mean``/``std`` —
+    what ``cli/resnet_finetune.py`` stores in the checkpoint meta) the
+    driver's /255 + standardize runs on device; without them the ImageNet
+    resize-240/crop-224 graph (``jax_preprocess_frames``) is used. Batches
+    are right-padded to ``batch_size`` so every call hits ONE compiled
+    program regardless of trial length.
+    """
+
+    def __init__(self, trunk_params, trunk_stats, *, mean=None, std=None,
+                 int8=False, calib_frames=None, dtype=jnp.bfloat16,
+                 stage_sizes=(3, 4, 6, 3), width=64, batch_size=128,
+                 mesh=None):
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
+
+        if mean is not None:
+            mean_j = jnp.asarray(mean, jnp.float32)
+            std_j = jnp.asarray(std, jnp.float32)
+
+            def preprocess(x):
+                return (x.astype(jnp.float32) / 255.0 - mean_j) / std_j
+        else:
+            from ..data.preprocessing import jax_preprocess_frames
+
+            preprocess = jax_preprocess_frames
+
+        if int8:
+            if calib_frames is None:
+                raise ValueError("int8=True needs calib_frames (one "
+                                 "representative raw-frame batch)")
+            from ..ops.quant import (quantize_resnet50_trunk,
+                                     resnet50_int8_apply)
+
+            qt = quantize_resnet50_trunk(
+                {"params": trunk_params, "batch_stats": trunk_stats},
+                np.asarray(jax.jit(preprocess)(
+                    jnp.asarray(calib_frames, jnp.float32))),
+                stage_sizes=stage_sizes,
+            )
+            self._features = jax.jit(lambda fr: resnet50_int8_apply(
+                qt, preprocess(fr), stage_sizes=tuple(stage_sizes)))
+        else:
+            from ..models.resnet import ResNet50
+
+            model = ResNet50(tuple(stage_sizes), width, dtype)
+            variables = {"params": trunk_params, "batch_stats": trunk_stats}
+            self._features = jax.jit(lambda fr: model.apply(
+                variables, preprocess(fr), train=False))
+
+    @classmethod
+    def from_checkpoint(cls, path, **kw):
+        """Build from a ``cli/resnet_finetune.py`` checkpoint
+        (``resnet50_<fold>.npz`` + ``.json`` meta with the fold's pixel
+        channel mean/std)."""
+        import json
+        import os
+
+        from ..train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        # save_checkpoint writes the meta next to the .npz: <path>.json
+        # whether or not <path> already carried the extension
+        for meta_path in (path + ".json", path + ".npz.json"):
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                kw.setdefault("mean", meta.get("mean"))
+                kw.setdefault("std", meta.get("std"))
+                break
+        return cls(ckpt["params"]["trunk"], ckpt["batch_stats"]["trunk"],
+                   **kw)
+
+    def features(self, frames):
+        """(N, H, W, 3) uint8/float raw frames -> (N, F) fp32 features.
+        Any N: chunks of ``batch_size``, last chunk zero-padded (sliced
+        back) so the jitted program compiles once."""
+        frames = np.asarray(frames)
+        bs = self.batch_size
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("data"))
+        out = []
+        for s in range(0, len(frames), bs):
+            chunk = frames[s:s + bs]
+            n = len(chunk)
+            if n < bs:
+                chunk = np.pad(chunk, ((0, bs - n),) + ((0, 0),) * 3)
+            x = jnp.asarray(chunk, jnp.float32)
+            if sharding is not None:
+                x = jax.device_put(x, sharding)
+            out.append(np.asarray(self._features(x))[:n])
+        return np.concatenate(out, axis=0)
+
+
+def predict_trial_from_pixels(frontend: "PixelFrontEnd",
+                              server: "EnsembleServer",
+                              frames, kinematics, g_labels,
+                              cfg, stats):
+    """Live pixels -> prediction for one trial: trunk features
+    (:class:`PixelFrontEnd`) -> reference windowing (window_scan over the
+    trial's gesture vector, dataset_utils.py:214-239) -> fold
+    standardization -> fused ensemble (:class:`EnsembleServer`).
+
+    Returns ``(starts, preds, probs)`` — window start frame indices and the
+    ensemble outputs per emitted window. Mirrors exactly what the offline
+    chain (feature export + build_window_fold + stored-prob ensembling)
+    produces for the same trial, live.
+    """
+    from ..data.datasets import standardize
+    from ..data.windowing import window_scan
+
+    feats = frontend.features(frames)
+    kin = np.asarray(kinematics, np.float32)
+    starts = window_scan(np.asarray(g_labels), cfg.window_size, cfg.stride)
+    if starts.size == 0:
+        return starts, np.empty(0, np.int32), np.empty(0, np.float32)
+    gather = starts[:, None] + np.arange(cfg.window_size)[None, :]
+    iw = standardize(feats[gather], stats["image"])
+    kw = standardize(kin[gather], stats["kinematics"])
+    n = len(starts)
+    if server.mesh is not None:  # pad to the data-axis multiple for DP
+        padn = (-n) % int(server.mesh.shape["data"])
+        if padn:
+            iw = np.pad(iw, ((0, padn), (0, 0), (0, 0)))
+            kw = np.pad(kw, ((0, padn), (0, 0), (0, 0)))
+    preds, probs = server.predict(iw, kw)
+    return starts, np.asarray(preds)[:n], np.asarray(probs)[:n]
+
+
 class FrameModelServer:
     """Live frame-level inference for the frame families (TeCNo / TransSVNet
     / COG): standardize kinematics with the fold statistics, bucket-pad the
@@ -165,6 +311,14 @@ class FrameModelServer:
                 if self._checkpoint.get("constants") else state.constants,
             )
         return self._state
+
+    def predict_trial_from_pixels(self, frontend: "PixelFrontEnd",
+                                  frames, kinematics):
+        """Live frame-family serving from RAW frames: the trunk front-end
+        (bf16 or int8) produces the (T, 2048) features in-process, then the
+        standard trial path runs — the full reference pipeline (feature
+        export + frame model) with no offline step."""
+        return self.predict_trial(frontend.features(frames), kinematics)
 
     def predict_trial(self, images, kinematics):
         """images (T, 2048), kinematics (T, 26) raw -> (preds (T,), probs)."""

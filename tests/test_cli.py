@@ -203,6 +203,64 @@ def test_serve_cli_on_mesh(data_root, tmp_path, capsys):
     assert "serve soft_vote binary F1" in out
 
 
+def test_serve_cli_from_pixels(data_root, tmp_path, capsys):
+    """--serve --pixels-root: live pixels -> trunk -> windows -> ensemble
+    with a fine-tune-format ResNet checkpoint; no offline feature export."""
+    import jax
+    import jax.numpy as jnp
+
+    from med_tpu.data.trials import Trial, save_trial_npz
+    from med_tpu.models.resnet import ResNet50
+    from med_tpu.train.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(3)
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs)
+    cfg = config_from_args(args, error_type="global", dataset_type="window",
+                           out_features=1)
+    _, tr = run_window_folds(args, cfg)
+
+    # raw-frame fold (32x32 pixels; g constant so windows are emitted)
+    raw_root = tmp_path / "raw"
+    fold = raw_root / "1Out"
+    fold.mkdir(parents=True)
+    names = []
+    for i in range(3):
+        name = f"Needle_Passing_B00{i + 1}"
+        names.append(name + ".npz")
+        T = 40
+        imgs = rng.integers(0, 256, size=(T, 32, 32, 3)).astype(np.float32)
+        e = np.zeros((T, 5), np.int64)
+        e[rng.random(T) < 0.4, 4] = 1
+        kin = rng.normal(size=(T, 26)).astype(np.float32)
+        save_trial_npz(str(fold / names[-1]),
+                       Trial(name, imgs, kin, np.ones(T, np.int64), e))
+    with open(fold / "train.csv", "w") as f:
+        f.write("\n".join(names[:-1]))
+    with open(fold / "test.csv", "w") as f:
+        f.write(names[-1])
+
+    # fine-tune-format checkpoint: random full-geometry trunk + pixel stats
+    variables = ResNet50().init(jax.random.key(0),
+                                jnp.zeros((1, 32, 32, 3)))
+    ckpt = str(tmp_path / "resnet50_{fold}.npz")
+    save_checkpoint(ckpt.format(fold="1Out"),
+                    {"trunk": variables["params"]},
+                    {"trunk": variables["batch_stats"]},
+                    meta={"mean": [0.5] * 3, "std": [0.25] * 3})
+
+    capsys.readouterr()
+    cli_ensemble.main(
+        ["--runs-root", runs, "--folds", "1Out", "--mode", "soft_vote",
+         "--run-a", tr.run_id, "--run-b", tr.run_id,
+         "--serve", "--pixels-root", str(raw_root), "--resnet-ckpt", ckpt,
+         "--fp32-trunk", "--serve-batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "pixel-serve soft_vote binary F1" in out
+    assert "trunk=fp32" in out
+
+
 def test_siamese_cli(data_root, tmp_path):
     runs = str(tmp_path / "runs")
     p = base_parser("t")

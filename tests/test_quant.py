@@ -108,3 +108,26 @@ def test_int8_trunk_unseen_batch_within_calibrated_range(tiny_trunk):
     cos = np.sum(got * ref, -1) / (
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
     assert np.all(cos > 0.98), cos
+
+
+def test_int8_trunk_deeper_geometry_drift():
+    """Depth-scaled drift bound on a deeper trunk (round-4 ADVICE item 2):
+    (2,2,2,2) stages exercise the non-downsample residual joins — the int8
+    tensor rides straight through the join at the block's input scale —
+    where requant noise accumulates across 8 blocks instead of 4. The real
+    (3,4,6,3) trunk's measured drift is in CLAUDE.md (cosine 0.99986 vs
+    fp32 on the serving distribution, TPU v5e)."""
+    model = ResNet50(stage_sizes=(2, 2, 2, 2), width=8)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    variables = model.init({"params": jax.random.key(2)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    qt = quantize_resnet50_trunk(variables, x, stage_sizes=(2, 2, 2, 2))
+    got = np.asarray(resnet50_int8_apply(qt, x, stage_sizes=(2, 2, 2, 2)))
+    cos = np.sum(got * ref, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # 2x the block count of the tiny fixture: allow ~sqrt(2)x its rel bound
+    assert np.all(cos > 0.985), cos
+    assert rel < 0.12, rel

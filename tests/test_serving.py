@@ -81,6 +81,137 @@ def test_server_on_mesh(rng):
     assert preds.shape == (B,)
 
 
+def _tiny_trunk(rng, *, stage_sizes=(1, 1, 1, 1), width=8):
+    """Random-weight tiny ResNet-50 geometry (feature dim 4*width*8)."""
+    from med_tpu.models.resnet import ResNet50
+
+    model = ResNet50(stage_sizes, width, jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 40, 40, 3)))
+    # non-trivial BN running stats so folding is exercised
+    stats = jax.tree.map(
+        lambda v: v + 0.05 * jnp.asarray(
+            rng.normal(size=v.shape), jnp.float32) ** 2,
+        variables["batch_stats"])
+    return model, variables["params"], stats
+
+
+def test_pixel_front_end_matches_offline_export(rng):
+    """Live pixels->features equals the exporter's model.apply path,
+    including the padded last chunk."""
+    from med_tpu.eval.serving import PixelFrontEnd
+
+    model, params, stats = _tiny_trunk(rng)
+    frames = rng.integers(0, 256, size=(13, 40, 40, 3)).astype(np.uint8)
+    mean = rng.uniform(0.3, 0.7, 3).astype(np.float32)
+    std = rng.uniform(0.1, 0.3, 3).astype(np.float32)
+    fe = PixelFrontEnd(params, stats, mean=mean, std=std,
+                       dtype=jnp.float32, stage_sizes=(1, 1, 1, 1),
+                       width=8, batch_size=8)
+    got = fe.features(frames)
+    pix = (frames.astype(np.float32) / 255.0 - mean) / std
+    want = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(pix), train=False))
+    assert got.shape == (13, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pixel_front_end_int8_close(rng):
+    """int8 PTQ front-end stays within documented drift of the fp trunk."""
+    from med_tpu.eval.serving import PixelFrontEnd
+
+    model, params, stats = _tiny_trunk(rng)
+    frames = rng.integers(0, 256, size=(8, 40, 40, 3)).astype(np.uint8)
+    mean = np.full(3, 0.5, np.float32)
+    std = np.full(3, 0.25, np.float32)
+    kw = dict(mean=mean, std=std, dtype=jnp.float32,
+              stage_sizes=(1, 1, 1, 1), width=8, batch_size=8)
+    fp = PixelFrontEnd(params, stats, **kw).features(frames)
+    q = PixelFrontEnd(params, stats, int8=True, calib_frames=frames,
+                      **kw).features(frames)
+    cos = np.sum(fp * q, 1) / (
+        np.linalg.norm(fp, axis=1) * np.linalg.norm(q, axis=1) + 1e-12)
+    assert cos.min() > 0.95
+
+
+def test_pixel_front_end_from_checkpoint(tmp_path, rng):
+    """from_checkpoint: resnet_finetune's npz + meta round-trips (pixel
+    stats picked up from the meta json)."""
+    from med_tpu.eval.serving import PixelFrontEnd
+    from med_tpu.train.checkpoint import save_checkpoint
+
+    model, params, stats = _tiny_trunk(rng)
+    mean = rng.uniform(0.3, 0.7, 3).astype(np.float32)
+    std = rng.uniform(0.1, 0.3, 3).astype(np.float32)
+    path = str(tmp_path / "resnet50_1Out.npz")
+    save_checkpoint(path, {"trunk": params, "fc1": {}, "fc2": {}},
+                    {"trunk": stats},
+                    meta={"mean": mean.tolist(), "std": std.tolist()})
+    fe = PixelFrontEnd.from_checkpoint(
+        path, dtype=jnp.float32, stage_sizes=(1, 1, 1, 1), width=8,
+        batch_size=4)
+    frames = rng.integers(0, 256, size=(6, 40, 40, 3)).astype(np.uint8)
+    direct = PixelFrontEnd(params, stats, mean=mean, std=std,
+                           dtype=jnp.float32, stage_sizes=(1, 1, 1, 1),
+                           width=8, batch_size=4)
+    np.testing.assert_allclose(fe.features(frames), direct.features(frames),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_predict_trial_from_pixels_matches_offline_chain(rng):
+    """Live pixels->windows->ensemble equals the offline export + windowing
+    + standardize + member-forward chain, window for window."""
+    from med_tpu.config import ExperimentConfig
+    from med_tpu.data.datasets import standardize
+    from med_tpu.data.windowing import window_scan
+    from med_tpu.eval.serving import PixelFrontEnd, predict_trial_from_pixels
+
+    model, params, stats = _tiny_trunk(rng)
+    T = 60
+    frames = rng.integers(0, 256, size=(T, 40, 40, 3)).astype(np.uint8)
+    kin = rng.normal(size=(T, 26)).astype(np.float32)
+    g = np.ones(T, np.int64)
+    mean = np.full(3, 0.5, np.float32)
+    std = np.full(3, 0.25, np.float32)
+    fe = PixelFrontEnd(params, stats, mean=mean, std=std,
+                       dtype=jnp.float32, stage_sizes=(1, 1, 1, 1),
+                       width=8, batch_size=16)
+
+    cfg = ExperimentConfig(model_name="SimpleCNN", data_type="multimodal",
+                           use_pallas=False)
+    exp = Experiment(cfg)
+    feats = fe.features(frames)
+    fold_stats = {
+        "image": {"mean": feats.mean(0), "std": feats.std(0) + 1e-8},
+        "kinematics": {"mean": kin.mean(0), "std": kin.std(0) + 1e-8},
+    }
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(8, cfg.window_size, 256)),
+                              jnp.float32),
+        "kinematics": jnp.asarray(rng.normal(size=(8, cfg.window_size, 26)),
+                                  jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 2, 8)),
+        "mask": jnp.ones(8, jnp.float32),
+    }
+    state = exp.init_state(jax.random.key(7), batch)
+    bundle = WindowModelBundle(cfg, jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats}))
+    server = EnsembleServer([bundle], mode="soft_vote")
+
+    starts, preds, probs = predict_trial_from_pixels(
+        fe, server, frames, kin, g, cfg, fold_stats)
+
+    want_starts = window_scan(g, cfg.window_size, cfg.stride)
+    np.testing.assert_array_equal(starts, want_starts)
+    gather = want_starts[:, None] + np.arange(cfg.window_size)[None, :]
+    iw = standardize(feats[gather], fold_stats["image"])
+    kw = standardize(kin[gather], fold_stats["kinematics"])
+    want_p = np.asarray(jax.nn.sigmoid(
+        bundle.logits(jnp.asarray(iw), jnp.asarray(kw)).reshape(-1)))
+    np.testing.assert_allclose(probs, want_p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(preds, (want_p >= 0.5).astype(int))
+
+
 def test_frame_model_server(rng):
     from med_tpu.eval.serving import FrameModelServer
 
@@ -111,3 +242,41 @@ def test_frame_model_server(rng):
     assert preds.shape == (T,)
     assert probs.shape == (T,)
     assert set(np.unique(preds)) <= {0, 1}
+
+
+def test_frame_model_server_from_pixels(rng):
+    """FrameModelServer x PixelFrontEnd: raw frames through the live trunk
+    equal precomputed features through predict_trial."""
+    from med_tpu.eval.serving import FrameModelServer, PixelFrontEnd
+
+    # kinematics-only model keeps this cheap; the composition contract is
+    # what is under test (features are still produced and threaded)
+    cfg = ExperimentConfig(
+        model_name="TeCNo", dataset_type="frame", data_type="kinematics",
+        out_features=2, batch_size=1, mstcn_layers=3, mstcn_f_maps=8,
+        use_pallas=False,
+    )
+    exp = Experiment(cfg)
+    batch = {
+        "images": jnp.zeros((1, 256, 256)),
+        "kinematics": jnp.zeros((1, 256, 26)),
+        "labels": jnp.zeros(256, jnp.int32),
+        "mask": jnp.ones(256, jnp.float32),
+        "true_len": jnp.asarray(256, jnp.int32),
+    }
+    state = exp.init_state(jax.random.key(1), batch)
+    ckpt = jax.device_get({"params": state.params,
+                           "batch_stats": state.batch_stats})
+    server = FrameModelServer(cfg, ckpt, stats=None)
+
+    model, params, stats = _tiny_trunk(rng)
+    fe = PixelFrontEnd(params, stats, mean=np.full(3, 0.5, np.float32),
+                       std=np.full(3, 0.25, np.float32), dtype=jnp.float32,
+                       stage_sizes=(1, 1, 1, 1), width=8, batch_size=16)
+    T = 50
+    frames = rng.integers(0, 256, size=(T, 40, 40, 3)).astype(np.uint8)
+    kin = rng.normal(size=(T, 26)).astype(np.float32)
+    preds, probs = server.predict_trial_from_pixels(fe, frames, kin)
+    want_p, want_pr = server.predict_trial(fe.features(frames), kin)
+    np.testing.assert_array_equal(preds, want_p)
+    np.testing.assert_allclose(probs, want_pr, rtol=1e-6)
