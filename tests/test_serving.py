@@ -116,6 +116,24 @@ def test_pixel_front_end_matches_offline_export(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_pixel_front_end_imagenet_preprocess(rng):
+    """Without per-fold pixel stats the front-end falls back to the fused
+    ImageNet resize-240/crop-224 graph (jax_preprocess_frames)."""
+    from med_tpu.data.preprocessing import jax_preprocess_frames
+    from med_tpu.eval.serving import PixelFrontEnd
+
+    model, params, stats = _tiny_trunk(rng)
+    frames = rng.integers(0, 256, size=(3, 240, 240, 3)).astype(np.uint8)
+    fe = PixelFrontEnd(params, stats, dtype=jnp.float32,
+                       stage_sizes=(1, 1, 1, 1), width=8, batch_size=4)
+    got = fe.features(frames)
+    want = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats},
+        jax_preprocess_frames(jnp.asarray(frames, jnp.float32)),
+        train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_pixel_front_end_int8_close(rng):
     """int8 PTQ front-end stays within documented drift of the fp trunk."""
     from med_tpu.eval.serving import PixelFrontEnd
