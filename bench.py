@@ -94,6 +94,13 @@ def _trace_iter_time(run, carry, est_iter_s: float) -> float:
     n = int(min(max(0.05 / est, 8), 64))
     logdir = tempfile.mkdtemp(prefix="benchtrace_")
     try:
+        # Warm OUTSIDE the capture: a fresh jit wrapper compiling inside
+        # the trace puts XLA autotuning executions on the device plane,
+        # and first-event->last-event span then covers the whole compile
+        # window (a 2026-08-20 run read 9.13 ms/iter for the 89 us loop,
+        # mfu_trace 0.0069). The warm call's output feeds the traced call
+        # so the relay can't memoize the traced dispatch.
+        carry = jax.block_until_ready(run(carry, jnp.asarray(n)))
         jax.profiler.start_trace(logdir)
         jax.block_until_ready(run(carry, jnp.asarray(n)))
         jax.profiler.stop_trace()
@@ -102,7 +109,16 @@ def _trace_iter_time(run, carry, est_iter_s: float) -> float:
         return -1.0
     finally:
         shutil.rmtree(logdir, ignore_errors=True)
-    return span / n if span > 0 else -1.0
+    if span <= 0:
+        return -1.0
+    t = span / n
+    # Plausibility gate: the device span physically cannot exceed the
+    # dispatch-inclusive wall-clock estimate (it may be far BELOW it when
+    # est is the total/n upper bound, so only the high side is gated).
+    # Never report garbage.
+    if est_iter_s > 0 and t > est_iter_s * 3:
+        return -1.0
+    return t
 
 
 def _timed_loop(make_run, carry, n_lo: int = ITERS, n_hi: int = 5 * ITERS,
