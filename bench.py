@@ -241,6 +241,7 @@ def main():
     t_cog_tb = cog_tb_flops = -1.0
     t_tsvn = t_e2e = e2e_frames_per_sec = e2e_vs_baseline = -1.0
     t_i8 = i8_cos_mean = -1.0
+    t_i8w = -1.0
     t_rft = rft_flops = -1.0
     trunk_dtype = "bfloat16" if on_tpu else "float32"
 
@@ -302,6 +303,43 @@ def main():
             if t_span > 0:
                 window_infer_span_us = t_span * 1e6
                 window_infer_mfu_trace = _mfu(infer_flops, t_span)
+
+    # =====================================================================
+    # priority 1.5 — int8 PTQ FeatureExtractor on the SAME headline shape
+    # (serving-only extra, eval/serving.py::WindowModelBundle.quantize_fe):
+    # the bf16 path is MXU-bound at ~0.70 MFU, the s8 path has 2x the peak;
+    # the win is bounded by the 42 MB f32 input read (probe: 1.30x).
+    # =====================================================================
+    if on_tpu and exp is not None and _budget_left():
+        with guard("int8_window"):
+            from med_tpu.ops.quant import fe_int8_apply, quantize_fe
+
+            qfe = quantize_fe(state.params["fe"],
+                              np.asarray(batch["images"][:32]))
+
+            def make_i8w_run():
+                @jax.jit
+                def run(images, n):
+                    def body(i, im):
+                        logits = infer_int8(im)
+                        return im + 1e-12 * jnp.mean(logits)
+
+                    return jax.lax.fori_loop(0, n, body, images)
+
+                def infer_int8(im):
+                    feats = fe_int8_apply(qfe, im)
+                    x = jnp.concatenate([feats, batch["kinematics"]],
+                                        axis=-1)
+                    return exp.model.apply(
+                        {"params": state.params["model"],
+                         "batch_stats": state.batch_stats["model"]},
+                        x, train=False,
+                    )
+
+                return run
+
+            t_i8w = _timed_loop(make_i8w_run, batch["images"], n_hi=1000,
+                                name="int8_window")
 
     # =====================================================================
     # priority 2 — ResNet-50 fine-tune TRAIN step (reference
@@ -670,6 +708,8 @@ def main():
             "resnet_train_frames_per_sec": round(32 / t_rft, 1) if t_rft > 0 else -1.0,
             "resnet_train_mfu": round(_mfu(rft_flops, t_rft), 4),
             # fraction of chip peak (v5e bf16 ≈ 197 TFLOP/s unless overridden)
+            "int8_window_windows_per_sec": round(B / t_i8w, 1) if t_i8w > 0 else -1.0,
+            "int8_window_speedup_vs_bf16": round(t_infer / t_i8w, 2) if t_i8w > 0 and t_infer > 0 else -1.0,
             "window_infer_mfu": round(_mfu(infer_flops, t_infer), 4),
             "window_infer_mfu_trace": round(window_infer_mfu_trace, 4),
             "window_infer_span_us_trace": round(window_infer_span_us, 2),

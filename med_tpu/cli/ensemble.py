@@ -63,9 +63,18 @@ def _serve_pixels(args, folds, cfg, mesh):
                                 for t in train_trials])
         kins = np.concatenate([t.kinematics for t in train_trials])
         stats = compute_fold_stats(feats, kins)
+        calib = None
+        if args.int8_fe:
+            # calibrate the int8 FE on what it will see at serve time:
+            # standardized train-split trunk-feature windows
+            from ..data.datasets import standardize
+            nw = max(1, min(64, len(feats) // cfg.window_size))
+            calib = standardize(
+                feats[: nw * cfg.window_size].reshape(
+                    nw, cfg.window_size, -1), stats["image"])
         server = load_ensemble(
             args.runs_root, [args.run_a, args.run_b], args.setting, out,
-            mode="soft_vote", mesh=mesh)
+            mode="soft_vote", mesh=mesh, int8_fe_calib=calib)
         all_preds, all_labels = [], []
         for t in test_trials:
             starts, preds, _ = predict_trial_from_pixels(
@@ -115,11 +124,13 @@ def _serve(args, folds):
         return _serve_pixels(args, folds, cfg, mesh)
     f1s, accs, weights = [], [], []
     for out in folds:
+        train_fold, test_fold = build_window_fold(
+            os.path.join(args.data_root, out), cfg, None)
+        calib = (np.asarray(train_fold.images[:64], np.float32)
+                 if args.int8_fe else None)
         server = load_ensemble(
             args.runs_root, [args.run_a, args.run_b], args.setting, out,
-            mode="soft_vote", mesh=mesh)
-        _, test_fold = build_window_fold(
-            os.path.join(args.data_root, out), cfg, None)
+            mode="soft_vote", mesh=mesh, int8_fe_calib=calib)
         imgs = np.asarray(test_fold.images, np.float32)
         kins = np.asarray(test_fold.kinematics, np.float32)
         n = len(test_fold)
@@ -164,6 +175,10 @@ def main(argv=None):
     p.add_argument("--resnet-ckpt", default=None,
                    help="resnet_finetune checkpoint for --pixels-root; "
                         "'{fold}' expands per fold")
+    p.add_argument("--int8-fe", action="store_true", default=False,
+                   help="serve members through the int8 PTQ "
+                        "FeatureExtractor, calibrated on the train "
+                        "split (1.30x on v5e at ~2%% logits drift)")
     p.add_argument("--int8-trunk", action="store_true", default=False,
                    help="serve pixels through the int8 PTQ trunk "
                         "(ops/quant.py; 1.37x the bf16 floor on v5e)")

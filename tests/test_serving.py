@@ -298,3 +298,38 @@ def test_frame_model_server_from_pixels(rng):
     want_p, want_pr = server.predict_trial(fe.features(frames), kin)
     np.testing.assert_array_equal(preds, want_p)
     np.testing.assert_allclose(probs, want_pr, rtol=1e-6)
+
+
+def test_soft_vote_server_int8_fe_close(rng):
+    """Members served through the int8 PTQ FeatureExtractor
+    (WindowModelBundle.quantize_fe) agree with the fp32 ensemble to the
+    documented PTQ tolerance — probabilities close, decisions matching
+    except within a band around the threshold (serving-only extra; the
+    reference has no quantized path)."""
+    B = 32
+    images = rng.normal(size=(B, 10, 2048)).astype(np.float32)
+    kin = rng.normal(size=(B, 10, 26)).astype(np.float32)
+
+    ref_members = [make_bundle(rng, 0), make_bundle(rng, 1)]
+    ref_server = EnsembleServer(ref_members, mode="soft_vote")
+    _, p_ref = ref_server.predict(images, kin)
+
+    i8_members = [make_bundle(rng, 0), make_bundle(rng, 1)]
+    for m in i8_members:
+        m.quantize_fe(images[:8])
+        assert m.qfe is not None
+    i8_server = EnsembleServer(i8_members, mode="soft_vote")
+    preds, p_i8 = i8_server.predict(images, kin)
+
+    p_ref, p_i8 = np.asarray(p_ref), np.asarray(p_i8)
+    np.testing.assert_allclose(p_i8, p_ref, atol=0.03)
+    # decisions match wherever the fp32 probability is clear of threshold
+    clear = np.abs(p_ref - 0.5) > 0.03
+    np.testing.assert_array_equal(
+        np.asarray(preds)[clear], (p_ref >= 0.5).astype(int)[clear])
+
+
+def test_kinematics_member_quantize_fe_noop(rng):
+    m = make_bundle(rng, 2, data_type="kinematics")
+    m.quantize_fe(rng.normal(size=(4, 10, 2048)).astype(np.float32))
+    assert m.qfe is None
