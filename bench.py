@@ -241,7 +241,7 @@ def main():
     t_cog_tb = cog_tb_flops = -1.0
     t_tsvn = t_e2e = e2e_frames_per_sec = e2e_vs_baseline = -1.0
     t_i8 = i8_cos_mean = -1.0
-    t_i8w = -1.0
+    t_i8w = t_i8s = -1.0
     t_rft = rft_flops = -1.0
     trunk_dtype = "bfloat16" if on_tpu else "float32"
 
@@ -340,6 +340,37 @@ def main():
 
             t_i8w = _timed_loop(make_i8w_run, batch["images"], n_hi=1000,
                                 name="int8_window")
+
+    if on_tpu and exp is not None and t_i8w > 0 and _budget_left():
+        with guard("int8_window_store"):
+            from med_tpu.ops.quant import quantize_fe_input
+
+            def make_i8s_run():
+                """int8 FEATURE-STORE serving: pre-quantized windows drop
+                the dominant input read 4x (42 -> 10.5 MB/step); arithmetic
+                bit-identical to the fp32-input int8 path (pinned in
+                tests/test_quant.py)."""
+                @jax.jit
+                def run(imq, n):
+                    def body(i, q):
+                        feats = fe_int8_apply(qfe, q)
+                        x = jnp.concatenate(
+                            [feats, batch["kinematics"]], axis=-1)
+                        logits = exp.model.apply(
+                            {"params": state.params["model"],
+                             "batch_stats": state.batch_stats["model"]},
+                            x, train=False,
+                        )
+                        bit = (jnp.sum(logits) > 0).astype(jnp.int8)
+                        return jnp.bitwise_xor(q, bit)
+
+                    return jax.lax.fori_loop(0, n, body, imq)
+
+                return run
+
+            t_i8s = _timed_loop(make_i8s_run,
+                                quantize_fe_input(qfe, batch["images"]),
+                                n_hi=1000, name="int8_window_store")
 
     # =====================================================================
     # priority 2 — ResNet-50 fine-tune TRAIN step (reference
@@ -710,6 +741,8 @@ def main():
             # fraction of chip peak (v5e bf16 ≈ 197 TFLOP/s unless overridden)
             "int8_window_windows_per_sec": round(B / t_i8w, 1) if t_i8w > 0 else -1.0,
             "int8_window_speedup_vs_bf16": round(t_infer / t_i8w, 2) if t_i8w > 0 and t_infer > 0 else -1.0,
+            "int8_store_windows_per_sec": round(B / t_i8s, 1) if t_i8s > 0 else -1.0,
+            "int8_store_speedup_vs_bf16": round(t_infer / t_i8s, 2) if t_i8s > 0 and t_infer > 0 else -1.0,
             "window_infer_mfu": round(_mfu(infer_flops, t_infer), 4),
             "window_infer_mfu_trace": round(window_infer_mfu_trace, 4),
             "window_infer_span_us_trace": round(window_infer_span_us, 2),

@@ -133,6 +133,16 @@ def _serve(args, folds):
             mode="soft_vote", mesh=mesh, int8_fe_calib=calib)
         imgs = np.asarray(test_fold.images, np.float32)
         kins = np.asarray(test_fold.kinematics, np.float32)
+        if args.int8_fe:
+            # int8 feature store: quantize the fold's windows ONCE (layer-0
+            # scale is calibration-batch-only, so one store serves every
+            # member — tests/test_quant.py) and feed int8 to the server;
+            # bit-identical to handing it the fp32 windows.
+            from ..ops.quant import quantize_fe_input
+            qfe = next((m.qfe for m in server.members if m.qfe is not None),
+                       None)
+            if qfe is not None:
+                imgs = np.asarray(quantize_fe_input(qfe, imgs))
         n = len(test_fold)
         if mesh is not None:  # pad to the data-axis multiple for DP
             q = int(mesh.shape["data"])

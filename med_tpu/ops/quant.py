@@ -281,15 +281,31 @@ def fe_int8_apply(qfe, images):
 
     Drop-in for ``FeatureExtractor.apply`` on the inference path; the last
     layer has no ReLU (matching the module), so its output stays fp32 for
-    the downstream concat + window head."""
+    the downstream concat + window head.
+
+    ``images`` may also be int8 — a feature-store batch already quantized
+    by :func:`quantize_fe_input` (layer-0 scale). The serving input read is
+    the window path's bandwidth wall (42 MB f32 per 512-window batch), so
+    an int8 feature store cuts it 4x; the arithmetic is bit-identical to
+    quantizing the fp32 features here."""
     layers = qfe["layers"]
-    x = jnp.asarray(images, jnp.float32)
+    x = images
     for i, qd in enumerate(layers):
-        xq = quantize_tensor(x, qd["in_scale"])
+        if x.dtype == jnp.int8:
+            xq = x
+        else:
+            xq = quantize_tensor(jnp.asarray(x, jnp.float32), qd["in_scale"])
         x = _dense_i8(xq, qd["in_scale"], qd)
         if i + 1 < len(layers):
             x = jax.nn.relu(x)
     return x
+
+
+def quantize_fe_input(qfe, images):
+    """fp32 feature windows -> the int8 feature-store representation
+    consumed by :func:`fe_int8_apply` (layer-0 activation scale)."""
+    return quantize_tensor(jnp.asarray(images, jnp.float32),
+                           qfe["layers"][0]["in_scale"])
 
 
 def _block_i8(xq, s_in, q, stride: int, has_down: bool):

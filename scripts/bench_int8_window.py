@@ -68,12 +68,32 @@ def main():
             return jax.lax.fori_loop(0, n, body, images)
         return run
 
+    def make_i8_store():
+        """Serving from an int8 FEATURE STORE: the input read (the wall —
+        42 MB f32/step) drops 4x; layer-0 quantize happens at export."""
+        from med_tpu.ops.quant import quantize_fe_input
+
+        @jax.jit
+        def run(imq, n):
+            def body(i, q):
+                logits = head(fe_int8_apply(qfe, q))
+                # data dependency that keeps the int8 carry int8: xor the
+                # low bit with a logits-derived 0/1 (can't be hoisted)
+                bit = (jnp.sum(logits) > 0).astype(jnp.int8)
+                return jnp.bitwise_xor(q, bit)
+            return jax.lax.fori_loop(0, n, body, imq)
+        return run, quantize_fe_input(qfe, batch["images"])
+
     t_ref = bench._timed_loop(make_ref, batch["images"], n_hi=1000, name="ref")
     print(f"ref FE+head: {t_ref*1e6:.1f} us/step ({B/t_ref:.0f} windows/s)",
           flush=True)
     t_i8 = bench._timed_loop(make_i8, batch["images"], n_hi=1000, name="int8")
     print(f"int8 FE+head: {t_i8*1e6:.1f} us/step ({B/t_i8:.0f} windows/s)  "
           f"speedup {t_ref/t_i8:.2f}x", flush=True)
+    mk_store, imq = make_i8_store()
+    t_st = bench._timed_loop(lambda: mk_store, imq, n_hi=1000, name="store")
+    print(f"int8 store+FE+head: {t_st*1e6:.1f} us/step "
+          f"({B/t_st:.0f} windows/s)  speedup {t_ref/t_st:.2f}x", flush=True)
     print("methods:", bench._METHODS, flush=True)
 
     # logits drift on the same batch

@@ -179,3 +179,42 @@ def test_int8_fe_drift_bounded():
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert np.all(cos > 0.995), cos.min()
         assert rel < 0.05, rel
+
+
+def test_int8_fe_feature_store_bit_identical():
+    """Serving from a pre-quantized int8 feature store
+    (quantize_fe_input -> fe_int8_apply on int8 input) is BIT-identical to
+    handing the same fp32 features to fe_int8_apply — the store just moves
+    the layer-0 quantize off the serving step (4x less input read)."""
+    from med_tpu.models.feature_extractor import FeatureExtractor
+    from med_tpu.ops.quant import (fe_int8_apply, quantize_fe,
+                                   quantize_fe_input)
+
+    fe = FeatureExtractor()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(6, 10, 2048)), jnp.float32)
+    variables = fe.init(jax.random.key(1), x[:1])
+    qfe = quantize_fe(variables["params"], x[:3])
+    xq = quantize_fe_input(qfe, x)
+    assert np.asarray(xq).dtype == np.int8
+    a = np.asarray(fe_int8_apply(qfe, x))
+    b = np.asarray(fe_int8_apply(qfe, xq))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_int8_fe_layer0_scale_member_independent():
+    """The layer-0 activation scale depends only on the calibration batch,
+    not the member's weights — so an int8 feature store quantized once is
+    valid for every ensemble member calibrated on the same batch."""
+    from med_tpu.models.feature_extractor import FeatureExtractor
+    from med_tpu.ops.quant import quantize_fe
+
+    fe = FeatureExtractor()
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(4, 10, 2048)), jnp.float32)
+    va = fe.init(jax.random.key(2), x[:1])
+    vb = fe.init(jax.random.key(3), x[:1])
+    qa = quantize_fe(va["params"], x)
+    qb = quantize_fe(vb["params"], x)
+    assert float(qa["layers"][0]["in_scale"]) == float(
+        qb["layers"][0]["in_scale"])

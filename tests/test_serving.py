@@ -333,3 +333,23 @@ def test_kinematics_member_quantize_fe_noop(rng):
     m = make_bundle(rng, 2, data_type="kinematics")
     m.quantize_fe(rng.normal(size=(4, 10, 2048)).astype(np.float32))
     assert m.qfe is None
+
+
+def test_server_int8_feature_store_matches_fp32_input(rng):
+    """EnsembleServer fed the int8 feature store (quantize_fe_input) gives
+    BIT-identical probabilities to the same server fed fp32 windows — the
+    store only moves the layer-0 quantize off the serving step."""
+    from med_tpu.ops.quant import quantize_fe_input
+
+    B = 16
+    images = rng.normal(size=(B, 10, 2048)).astype(np.float32)
+    kin = rng.normal(size=(B, 10, 26)).astype(np.float32)
+    members = [make_bundle(rng, 0), make_bundle(rng, 1, data_type="kinematics")]
+    members[0].quantize_fe(images[:4])
+    server = EnsembleServer(members, mode="soft_vote")
+    preds_f, p_f = server.predict(images, kin)
+    imq = np.asarray(quantize_fe_input(members[0].qfe, images))
+    assert imq.dtype == np.int8
+    preds_q, p_q = server.predict(imq, kin)
+    np.testing.assert_array_equal(np.asarray(p_q), np.asarray(p_f))
+    np.testing.assert_array_equal(np.asarray(preds_q), np.asarray(preds_f))
